@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark entry point — prints ONE JSON line with the headline metric.
+
+Headline: shaded-rasterization throughput in Mpix/s over the reference's
+12-scene benchmark suite (rasterizer.rs:1781-1884: 512x512, Fill, shader 5
+CMRefl, envmap Grace, tick 0; best-of-N timing). `vs_baseline` is the speedup
+of the suite total vs the reference CPU's stored 27,286 us total
+(BASELINE.md). Falls back to earlier-milestone metrics while later stages are
+still under construction.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _best_seconds(fn, runs=20, warmup=2):
+    for _ in range(warmup):
+        fn()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_rasterizer():
+    from rustexp_tpu.app.benchmark import run_suite
+
+    return run_suite(runs=20)
+
+
+def bench_sine():
+    import jax
+    import jax.numpy as jnp
+    from rustexp_tpu.sims.sine import sine_frame
+
+    w = h = 512
+    wi = jnp.arange(w, dtype=jnp.float32)
+    hi = jnp.arange(h, dtype=jnp.float32)
+    best = _best_seconds(lambda: jax.block_until_ready(sine_frame(wi, hi, 0.5)))
+    mpix_s = (w * h) / best / 1e6
+    return {
+        "metric": "sine_fill_Mpix_per_s",
+        "value": round(mpix_s, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": None,
+    }
+
+
+def main():
+    try:
+        result = bench_rasterizer()
+    except Exception as e:  # raster suite not ready yet — fall back
+        print(f"# rasterizer bench unavailable ({type(e).__name__}: {e}), "
+              f"falling back to sine fill", file=sys.stderr)
+        result = bench_sine()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
