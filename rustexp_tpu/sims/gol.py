@@ -1,0 +1,125 @@
+"""Game of Life experiment.
+
+Reference: rs-src/gol.rs (sim + render) and hs-src/RustGoLExperiment.hs
+(driver). The reference decouples sim and render with a free-running worker
+thread serialized by an MVar (RustGoLExperiment.hs:43-65,96-108); here the
+analog is `steps_per_frame` generations fused into one on-device dispatch
+per rendered frame — no locks, no globals, state is an explicit pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets.gol_patterns import PATTERNS, pattern_to_array
+from ..core.timing import FrameTimes
+from ..ops import gol_stencil
+
+GRID_WDH = gol_stencil.GRID_WDH
+
+
+def randomize(key) -> jax.Array:
+    """Uniform random fill (reference gol_randomize, gol.rs:18-29)."""
+    return jax.random.bernoulli(key, 0.5, (GRID_WDH, GRID_WDH)).astype(jnp.uint8)
+
+
+def set_pattern(pattern: np.ndarray) -> jax.Array:
+    """Center `pattern` on an empty grid (reference gol_set_pattern, gol.rs:200-225)."""
+    h, w = pattern.shape
+    grid = np.zeros((GRID_WDH, GRID_WDH), dtype=np.uint8)
+    xoffs = GRID_WDH // 2 - w // 2
+    yoffs = GRID_WDH // 2 - h // 2
+    ys, xs = np.nonzero(pattern)
+    gy, gx = ys + yoffs, xs + xoffs
+    keep = (gy >= 0) & (gy < GRID_WDH) & (gx >= 0) & (gx < GRID_WDH)
+    grid[gy[keep], gx[keep]] = 1
+    return jnp.asarray(grid)
+
+
+@jax.jit
+def gol_render(grid, w_arr, h_arr):
+    """Render grid centered into a [h,w] ABGR32 fb (reference gol_draw, gol.rs:172-198).
+
+    Background bytes = 64 -> 0x40404040; alive = 0x00FFFFFF, dead = 0.
+    """
+    h, w = h_arr.shape[0], w_arr.shape[0]
+    fb = jnp.full((h, w), jnp.uint32(0x40404040))
+    cell = jnp.where(grid.astype(jnp.uint32) == 1, jnp.uint32(0x00FFFFFF), jnp.uint32(0))
+    xoffs = w // 2 - GRID_WDH // 2
+    yoffs = h // 2 - GRID_WDH // 2
+    if w >= GRID_WDH and h >= GRID_WDH:
+        return jax.lax.dynamic_update_slice(fb, cell, (yoffs, xoffs))
+    # Small-fb fallback: clip the centered blit (reference skips OOB pixels)
+    ys = jnp.arange(h)[:, None] - yoffs
+    xs = jnp.arange(w)[None, :] - xoffs
+    inside = (ys >= 0) & (ys < GRID_WDH) & (xs >= 0) & (xs < GRID_WDH)
+    vals = cell[jnp.clip(ys, 0, GRID_WDH - 1), jnp.clip(xs, 0, GRID_WDH - 1)]
+    return jnp.where(inside, vals, fb)
+
+
+@dataclass
+class GoLState:
+    grid: Any
+    generations: int = 0
+    steps_per_frame: int = 1
+    backend: str = "mxu"
+    step_times: FrameTimes = field(default_factory=FrameTimes)
+    key: Any = None
+
+
+class GoLExperiment:
+    name = "GoL"
+
+    def init(self, pattern: str = "ark", seed: int = 0, steps_per_frame: int = 1,
+             backend: str = "mxu"):
+        """Initial pattern 'ark' matches the reference (RustGoLExperiment.hs:54)."""
+        key = jax.random.PRNGKey(seed)
+        grid = set_pattern(pattern_to_array(PATTERNS[pattern]))
+        return GoLState(grid=grid, steps_per_frame=steps_per_frame, backend=backend, key=key)
+
+    def step(self, state: GoLState) -> GoLState:
+        import time
+
+        t0 = time.perf_counter()
+        k = state.steps_per_frame
+        if state.backend == "pallas":
+            state.grid = gol_stencil.multi_step_pallas(state.grid, jnp.int32(k))
+        else:
+            state.grid = gol_stencil.multi_step(state.grid, k, state.backend)
+        state.grid.block_until_ready()
+        state.step_times.push((time.perf_counter() - t0) / max(k, 1))
+        state.generations += k
+        return state
+
+    def render(self, state: GoLState, w: int, h: int):
+        return gol_render(state.grid, jnp.zeros(w), jnp.zeros(h))
+
+    def status(self, state: GoLState) -> str:
+        _, med, _, _ = state.step_times.stats()
+        gps = 1.0 / med if med > 0 else 0.0
+        return (
+            f"{GRID_WDH}x{GRID_WDH} Grid, {state.generations} Gens, "
+            f"{med * 1000:.2f}ms, GPS: {gps:.0f} | [R]nd [G]un [A]corn [F]ill ar[K]"
+        )
+
+    def handle_key(self, state: GoLState, key: str) -> GoLState:
+        """Keybindings per reference RustGoLExperiment.hs:78-91."""
+        key = key.upper() if len(key) == 1 else key
+        if key == "R":
+            state.key, sub = jax.random.split(state.key)
+            state.grid = randomize(sub)
+            state.generations = 0
+        elif key in ("G", "A", "F", "K"):
+            name = {"G": "gun", "A": "acorn", "F": "spacefill", "K": "ark"}[key]
+            state.grid = set_pattern(pattern_to_array(PATTERNS[name]))
+            state.generations = 0
+        elif key == "T":
+            state.steps_per_frame = min(64, state.steps_per_frame * 2)
+        elif key == "Shift-T":
+            state.steps_per_frame = max(1, state.steps_per_frame // 2)
+        return state

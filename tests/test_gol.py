@@ -1,0 +1,103 @@
+"""Game of Life: rule parity, backend equivalence, known evolutions, render."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rustexp_tpu.assets.gol_patterns import PATTERNS, pattern_to_array
+from rustexp_tpu.ops import gol_stencil
+from rustexp_tpu.sims import gol
+
+
+def _oracle_step(grid: np.ndarray) -> np.ndarray:
+    """Scalar port of the reference rule with torus wrap (gol.rs:31-170)."""
+    n = grid.shape[0]
+    out = np.zeros_like(grid)
+    for y in range(n):
+        for x in range(n):
+            nb = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    nb += grid[(y + dy) % n, (x + dx) % n]
+            out[y, x] = 1 if (nb == 3 or (grid[y, x] == 1 and nb == 2)) else 0
+    return out
+
+
+def test_step_roll_matches_oracle():
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 2, (32, 32)).astype(np.uint8)
+    got = np.asarray(gol_stencil.step_roll(jnp.asarray(g)))
+    np.testing.assert_array_equal(got, _oracle_step(g))
+
+
+def test_backends_agree():
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(rng.integers(0, 2, (256, 256)).astype(np.uint8))
+    r = gol_stencil.step_roll(g)
+    m = gol_stencil.step_mxu(g)
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(m))
+    # multi-step consistency
+    g5_loop = g
+    for _ in range(5):
+        g5_loop = gol_stencil.step_roll(g5_loop)
+    g5 = gol_stencil.multi_step(g, 5, "mxu")
+    np.testing.assert_array_equal(np.asarray(g5), np.asarray(g5_loop))
+    gp = gol_stencil.multi_step_pallas(g, jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(g5_loop))
+
+
+def test_glider_displacement():
+    """A glider displaces by (+1,+1) (toward +x,+y in our layout) every 4 gens."""
+    grid = gol.set_pattern(pattern_to_array(PATTERNS["glider"]))
+    g4 = np.asarray(gol_stencil.multi_step(grid, 4, "mxu"))
+    g0 = np.asarray(grid)
+    # displacement direction depends on orientation; check |shift| = (1,1)
+    for dy, dx in [(1, 1), (1, -1), (-1, 1), (-1, -1)]:
+        if np.array_equal(np.roll(np.roll(g0, dy, 0), dx, 1), g4):
+            return
+    raise AssertionError("glider did not displace diagonally by 1 after 4 generations")
+
+
+def test_still_life_and_blinker():
+    # 2x2 block is a still life
+    block = np.zeros((16, 16), np.uint8)
+    block[4:6, 4:6] = 1
+    out = np.asarray(gol_stencil.step_roll(jnp.asarray(block)))
+    np.testing.assert_array_equal(out, block)
+    # blinker oscillates with period 2
+    blinker = np.zeros((16, 16), np.uint8)
+    blinker[8, 7:10] = 1
+    b2 = np.asarray(gol_stencil.multi_step(jnp.asarray(blinker), 2, "roll"))
+    np.testing.assert_array_equal(b2, blinker)
+
+
+def test_set_pattern_centers_like_reference():
+    pat = pattern_to_array(PATTERNS["acorn"])  # 3 rows x 7 cols
+    grid = np.asarray(gol.set_pattern(pat))
+    h, w = pat.shape
+    xoffs = 256 // 2 - w // 2
+    yoffs = 256 // 2 - h // 2
+    np.testing.assert_array_equal(grid[yoffs : yoffs + h, xoffs : xoffs + w], pat)
+    assert grid.sum() == pat.sum()
+
+
+def test_render_semantics():
+    exp = gol.GoLExperiment()
+    st = exp.init(pattern="glider")
+    fb = np.asarray(exp.render(st, 512, 512))
+    # background gray
+    assert fb[0, 0] == 0x40404040
+    # grid area: dead cells are 0
+    assert fb[256, 256] in (0, 0x00FFFFFF)
+    assert (fb == 0x00FFFFFF).sum() == 5  # glider has 5 live cells
+
+
+def test_experiment_step_and_status():
+    exp = gol.GoLExperiment()
+    st = exp.init(pattern="gun", steps_per_frame=4)
+    st = exp.step(st)
+    assert st.generations == 4
+    assert "Gens" in exp.status(st)
+    st = exp.handle_key(st, "A")
+    assert st.generations == 0

@@ -1,0 +1,34 @@
+"""Multi-device (8 virtual CPU devices) semantics tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from rustexp_tpu.ops import gol_stencil
+from rustexp_tpu.parallel import gol_shard
+
+
+def _mesh(n=8, axis="rows"):
+    return Mesh(np.array(jax.devices()[:n]), axis_names=(axis,))
+
+
+def test_gol_sharded_matches_single_device():
+    rng = np.random.default_rng(42)
+    g = jnp.asarray(rng.integers(0, 2, (256, 256)).astype(np.int32))
+    mesh = _mesh(8)
+    step8 = gol_shard.make_multi_step(mesh, k=8)
+    got = step8(gol_shard.shard_grid(g, mesh))
+    want = gol_stencil.multi_step(g, 8, "roll")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gol_sharded_various_device_counts():
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.integers(0, 2, (64, 64)).astype(np.int32))
+    want = np.asarray(gol_stencil.multi_step(g, 3, "roll"))
+    for n in (2, 4):
+        mesh = _mesh(n)
+        step = gol_shard.make_multi_step(mesh, k=3)
+        got = np.asarray(step(gol_shard.shard_grid(g, mesh)))
+        np.testing.assert_array_equal(got, want)
