@@ -1,0 +1,232 @@
+"""Gravitational N-body experiment.
+
+Reference: rs-src/nbody.rs (sim + render), hs-src/RustNBodyExperiment.hs
+(driver: defaults N=10,000 stable orbits, dt=0.01, theta=0.85,
+RustNBodyExperiment.hs:42-48).
+
+State is (px, py, vx, vy, m) f32 arrays — a pytree threaded through jitted
+steps, replacing the reference's Mutex<Vec<Particle>> global (nbody.rs:28-32).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.timing import FrameTimes
+from ..ops import nbody_forces, nbody_treecode
+
+# Viewport over the simulation (nbody.rs:13-15)
+VP_WDH = 100.0
+VP_ORG_X = 0.0
+VP_ORG_Y = 0.0
+
+
+# ---------------------------------------------------------------------------
+# Initial conditions (nbody.rs:39-104). Same distributions, JAX PRNG.
+# ---------------------------------------------------------------------------
+
+
+def random_disk(key, n: int):
+    """Uniform disk of radius 23, vel in ±3.5, mass in 0.1–1.5 (nbody.rs:40-64)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    u = jax.random.uniform(k1, (n,))
+    v = jax.random.uniform(k2, (n,))
+    r = jnp.sqrt(u) * 23.0
+    theta = 2.0 * math.pi * v
+    px = r * jnp.cos(theta)
+    py = r * jnp.sin(theta)
+    vel = jax.random.uniform(k3, (n, 2), minval=-3.5, maxval=3.5)
+    m = jax.random.uniform(k4, (n,), minval=0.1, maxval=1.5)
+    return px, py, vel[:, 0], vel[:, 1], m
+
+
+def stable_orbits(key, n: int, rmin: float = 0.5, rmax: float = 30.0):
+    """Sun (mass 1000) + circular-orbit planets (mass 1), v = sqrt(G*M)
+    (nbody.rs:74-104)."""
+    sun_mass, planet_mass, g = 1000.0, 1.0, 1.0
+    speed = math.sqrt(g * sun_mass)
+    k1, k2 = jax.random.split(key)
+    r = jax.random.uniform(k1, (n - 1,)) * (rmax - rmin) + rmin
+    theta = 2.0 * math.pi * jax.random.uniform(k2, (n - 1,))
+    px = jnp.concatenate([jnp.zeros(1), r * jnp.cos(theta)])
+    py = jnp.concatenate([jnp.zeros(1), r * jnp.sin(theta)])
+    vx = jnp.concatenate([jnp.zeros(1), -speed * jnp.sin(theta)])
+    vy = jnp.concatenate([jnp.zeros(1), speed * jnp.cos(theta)])
+    m = jnp.concatenate([jnp.full(1, sun_mass), jnp.full(n - 1, planet_mass)])
+    return px, py, vx, vy, m
+
+
+# ---------------------------------------------------------------------------
+# Render (nb_draw, nbody.rs:482-583): alpha-blended splat + velocity tail.
+# ---------------------------------------------------------------------------
+
+# Golden body/tail colors (nbody.rs:520-521): rgb(255,215,130) x 0.3 / 0.25
+_BODY = (76, 64, 39)   # r, g, b after factor 0.3 and truncation
+_TAIL = (63, 53, 32)   # after factor 0.25
+
+# Octant direction table (nbody.rs:543-552): E NE N NW W SW S SE
+_DIRS = jnp.asarray(
+    [[1, 0], [1, 1], [0, 1], [-1, 1], [-1, 0], [-1, -1], [0, -1], [1, -1]],
+    dtype=jnp.int32,
+)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def nbody_render(px, py, vx, vy, w: int, h: int):
+    """uint32[h, w] ABGR frame: saturating-add splats + center cross."""
+    aspect = h / w
+    x1 = VP_ORG_X - VP_WDH / 2.0
+    y1 = (VP_ORG_Y - VP_WDH / 2.0) * aspect
+    x2 = VP_ORG_X + VP_WDH / 2.0
+    y2 = (VP_ORG_Y + VP_WDH / 2.0) * aspect
+    scalex = (1.0 / (x2 - x1)) * w
+    scaley = (1.0 / (y2 - y1)) * h
+
+    x = (px - x1) * scalex
+    y = (py - y1) * scaley
+    xi = x.astype(jnp.int32)  # truncation toward zero, like Rust `as i32`
+    yi = y.astype(jnp.int32)
+
+    # tail offset from velocity octant (nbody.rs:540-554)
+    angle = jnp.arctan2(vy, vx)
+    octant = ((8.0 * angle / (2.0 * math.pi) + 8.0).astype(jnp.int32)) % 8
+    d = _DIRS[octant]
+    xt = xi - d[:, 0]
+    yt = yi - d[:, 1]
+
+    # Saturating sequential adds of non-negative colors == sum-then-clip.
+    def splat(acc_rgb, xs, ys, rgb):
+        ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        flat = jnp.where(ok, ys * w + xs, 0)
+        weights = ok.astype(jnp.int32)
+        out = []
+        for ch, val in zip(range(3), rgb):
+            out.append(acc_rgb[ch].at[flat].add(weights * val, mode="drop"))
+        return out
+
+    acc = [jnp.zeros(h * w, jnp.int32) for _ in range(3)]
+    acc = splat(acc, xi, yi, _BODY)
+    acc = splat(acc, xt, yt, _TAIL)
+    r = jnp.minimum(acc[0], 255).astype(jnp.uint32).reshape(h, w)
+    g = jnp.minimum(acc[1], 255).astype(jnp.uint32).reshape(h, w)
+    b = jnp.minimum(acc[2], 255).astype(jnp.uint32).reshape(h, w)
+    fb = r | (g << 8) | (b << 16)
+
+    # center cross, magenta 0x00FF00FF (nbody.rs:570-577)
+    cross = jnp.asarray([[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]], dtype=jnp.int32)
+    fb = fb.at[h // 2 + cross[:, 1], w // 2 + cross[:, 0]].set(jnp.uint32(0x00FF00FF))
+    return fb
+
+
+# ---------------------------------------------------------------------------
+# Experiment driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NBodyState:
+    px: Any
+    py: Any
+    vx: Any
+    vy: Any
+    m: Any
+    dt: float = 0.01
+    theta: float = 0.85            # 0 -> brute force (reference semantics)
+    steps: int = 0
+    step_times: FrameTimes = field(default_factory=FrameTimes)
+    key: Any = None
+    overflow: int = 0
+
+    @property
+    def n(self) -> int:
+        return int(self.px.shape[0])
+
+
+class NBodyExperiment:
+    name = "NBody"
+
+    def init(self, mode: str = "orbits", n: int = 10_000, rmin: float = 0.5,
+             rmax: float = 30.0, seed: int = 0, dt: float = 0.01,
+             theta: float = 0.85):
+        """Defaults per reference driver (RustNBodyExperiment.hs:42-48)."""
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        if mode == "disk":
+            px, py, vx, vy, m = random_disk(sub, n)
+        else:
+            px, py, vx, vy, m = stable_orbits(sub, n, rmin, rmax)
+        return NBodyState(px=px, py=py, vx=vx, vy=vy, m=m, dt=dt, theta=theta, key=key)
+
+    def step(self, state: NBodyState) -> NBodyState:
+        import time
+
+        t0 = time.perf_counter()
+        if state.theta == 0.0:
+            if state.n % 1024 == 0:
+                from ..ops import nbody_pallas
+
+                px, py, vx, vy = nbody_pallas.step_brute_pallas(
+                    state.px, state.py, state.vx, state.vy, state.m,
+                    1024, False, state.dt,
+                )
+            else:
+                px, py, vx, vy = nbody_forces.step_brute_force(
+                    state.px, state.py, state.vx, state.vy, state.m, 0, state.dt
+                )
+        else:
+            n = state.n
+            chunk = 1024 if n % 1024 == 0 else n
+            px, py, vx, vy, ov = nbody_treecode.step_treecode(
+                state.px, state.py, state.vx, state.vy, state.m,
+                64, 512, chunk, state.dt,
+            )
+            state.overflow = int(ov)
+        px.block_until_ready()
+        state.px, state.py, state.vx, state.vy = px, py, vx, vy
+        state.steps += 1
+        state.step_times.push(time.perf_counter() - t0)
+        return state
+
+    def render(self, state: NBodyState, w: int, h: int):
+        return nbody_render(state.px, state.py, state.vx, state.vy, w, h)
+
+    def status(self, state: NBodyState) -> str:
+        _, med, _, _ = state.step_times.stats()
+        sps = 1.0 / med if med > 0 else 0.0
+        algo = "brute" if state.theta == 0.0 else f"treecode(th~{state.theta})"
+        return (
+            f"{state.steps} Steps, SPS: {sps:.0f}, {med * 1000:.2f}ms, "
+            f"{state.n} Bodies, dt {state.dt}, {algo}"
+        )
+
+    def handle_key(self, state: NBodyState, key: str) -> NBodyState:
+        """Keys per reference RustNBodyExperiment.hs:81-98."""
+        state.key, sub = jax.random.split(state.key)
+        if key == "Q":
+            st = self.init(mode="orbits", n=10_000)
+        elif key == "W":
+            st = self.init(mode="disk", n=10_000)
+        elif key == "E":
+            st = self.init(mode="orbits", n=5, rmin=5.0, rmax=30.0)
+        elif key == "X":
+            state.dt *= 2.0
+            return state
+        elif key == "x":
+            state.dt /= 2.0
+            return state
+        elif key == "A":
+            state.theta = min(0.95, state.theta + 0.05)
+            return state
+        elif key == "a":
+            state.theta = max(0.0, state.theta - 0.05)
+            return state
+        else:
+            return state
+        st.dt, st.theta = state.dt, state.theta
+        return st

@@ -32,3 +32,25 @@ def test_gol_sharded_various_device_counts():
         step = gol_shard.make_multi_step(mesh, k=3)
         got = np.asarray(step(gol_shard.shard_grid(g, mesh)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_nbody_sharded_matches_single_device():
+    import jax.numpy as jnp
+    from rustexp_tpu.ops import nbody_forces
+    from rustexp_tpu.parallel import nbody_shard
+
+    rng = np.random.default_rng(5)
+    n = 512
+    px = jnp.asarray(rng.uniform(-30, 30, n), jnp.float32)
+    py = jnp.asarray(rng.uniform(-30, 30, n), jnp.float32)
+    vx = jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+    vy = jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+    m = jnp.asarray(rng.uniform(0.1, 1.5, n), jnp.float32)
+
+    want = nbody_forces.step_brute_force(px, py, vx, vy, m, 0, 0.01)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("p",))
+    step = nbody_shard.make_step(mesh, dt=0.01)
+    got = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
