@@ -1,0 +1,92 @@
+"""Headless CLI driver — the engine's main entry point.
+
+Replaces the reference's GLFW window loop (hs-src/Main.hs:48-76,
+App.hs:155-215): experiments are selected by name instead of -/= keys,
+interactive keybindings become ``--keys`` (a string of the reference's key
+characters applied before the run), frames render to PNG instead of an
+OpenGL PBO, and the per-frame status overlay prints to stdout.
+
+Usage examples:
+    python -m rustexp_tpu.app.cli rasterizer --frames 8 --size 512 \
+        --keys WWP --out /tmp/frame
+    python -m rustexp_tpu.app.cli gol --frames 4 --keys G
+    python -m rustexp_tpu.app.cli nbody --frames 60
+    python -m rustexp_tpu.app.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_experiment(name: str, args):
+    if name == "sine":
+        from ..sims.sine import SineExperiment
+
+        return SineExperiment()
+    if name == "gol":
+        from ..sims.gol import GoLExperiment
+
+        return GoLExperiment()
+    if name == "nbody":
+        from ..sims.nbody import NBodyExperiment
+
+        return NBodyExperiment()
+    if name == "rasterizer":
+        from ..sims.rasterizer import RasterizerExperiment
+
+        return RasterizerExperiment()
+    raise SystemExit(f"unknown experiment {name!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rustexp_tpu", description=__doc__)
+    p.add_argument("experiment",
+                   choices=["sine", "gol", "nbody", "rasterizer", "bench"])
+    p.add_argument("--frames", type=int, default=4, help="frames to render")
+    p.add_argument("--size", type=int, default=512, help="framebuffer size (square)")
+    p.add_argument("--keys", default="", help="key events applied before the run "
+                   "(reference keybindings, e.g. 'WWP' = next-next-mesh, per-pixel)")
+    p.add_argument("--out", default="", help="PNG path prefix (writes <out>_NNN.png)")
+    p.add_argument("--ticks-per-frame", type=float, default=1.0 / 60.0)
+    p.add_argument("--runs", type=int, default=20, help="bench: timing runs per scene")
+    args = p.parse_args(argv)
+
+    if args.experiment == "bench":
+        import json
+
+        from .benchmark import run_suite
+
+        print(json.dumps(run_suite(runs=args.runs)))
+        return 0
+
+    exp = build_experiment(args.experiment, args)
+    state = exp.init()
+    for k in args.keys:
+        state = exp.handle_key(state, k)
+
+    w = h = args.size
+    t_start = time.perf_counter()
+    for i in range(args.frames):
+        tick = i * args.ticks_per_frame
+        state = exp.step(state)
+        try:
+            fb = exp.render(state, w, h, tick)
+        except TypeError:  # experiments whose render takes no tick
+            fb = exp.render(state, w, h)
+        if args.out:
+            from ..core.framebuffer import to_rgb8_topleft, write_png
+
+            path = f"{args.out}_{i:03d}.png"
+            write_png(path, to_rgb8_topleft(fb))
+            print(f"wrote {path}")
+        print(f"[{i}] {exp.status(state)}")
+    dt = time.perf_counter() - t_start
+    print(f"{args.frames} frames in {dt:.3f}s ({args.frames / dt:.1f} FPS)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

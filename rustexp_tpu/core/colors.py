@@ -87,6 +87,24 @@ def pack_abgr32_gamma(r, g, b):
     return r8 | (g8 << 8) | (b8 << 16)
 
 
+def pack_abgr32_gamma_np(rgb: np.ndarray) -> np.ndarray:
+    """Host-side numpy twin of pack_abgr32_gamma for asset preprocessing.
+
+    rgb: float32 [..., 3] -> uint32 [...] ABGR (alpha 0). Same 11-bit LUT and
+    blue-channel quirk as the jnp version (rasterizer.rs:1347-1387).
+    """
+    i = (rgb.astype(np.float32) * np.float32(2047.0)).astype(np.int32)
+    ri, gi, bi = i[..., 0], i[..., 1], i[..., 2]
+
+    def lut(idx):
+        return GAMMA_11BIT_LUT[np.clip(idx, 0, 2047)].astype(np.uint32)
+
+    r8 = np.where(ri < 0, np.uint32(0), np.where(ri > 2047, np.uint32(255), lut(ri)))
+    g8 = np.where(gi < 0, np.uint32(0), np.where(gi > 2047, np.uint32(255), lut(gi)))
+    b8 = np.where(ri < 0, np.uint32(0), np.where(bi > 2047, np.uint32(255), lut(bi)))
+    return (r8 | (g8 << 8) | (b8 << 16)).astype(np.uint32)
+
+
 def unpack_abgr32(c):
     """ABGR32 -> (r, g, b, a) uint32 channels in [0, 255]."""
     c = c.astype(jnp.uint32)

@@ -1,0 +1,172 @@
+// Native asset-loading runtime for rustexp_tpu.
+//
+// C++ counterpart of the reference's Rust asset loaders: the ASCII mesh
+// parser (reference rs-src/rasterizer.rs:150-348) and the Radiance-HDR
+// RGBE decoder the reference gets from stb_image (rasterizer.rs:555-567).
+// Exposed over a C ABI and consumed from Python via ctypes (no pybind11
+// dependency); the Python side keeps pure-numpy fallbacks, so the engine
+// works without the native library and tests can cross-check both paths.
+//
+// Build: `make -C rustexp_tpu/native` -> librustexp_native.so
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// ASCII mesh parsing
+// ---------------------------------------------------------------------------
+
+// Tokenizing number scanner over the whole file: skips whitespace and
+// '#'-comment lines, parses one double per call. Returns 1 on success.
+struct Scanner {
+  const char* p;
+  const char* end;
+  bool at_line_start;
+};
+
+static int next_number(Scanner* s, double* out) {
+  const char* p = s->p;
+  const char* end = s->end;
+  bool line_start = s->at_line_start;
+  while (p < end) {
+    char c = *p;
+    if (c == '\n') {
+      line_start = true;
+      ++p;
+    } else if (c == ' ' || c == '\t' || c == '\r') {
+      ++p;
+    } else if (c == '#' && line_start) {
+      while (p < end && *p != '\n') ++p;  // comment line
+    } else {
+      break;
+    }
+  }
+  if (p >= end) return 0;
+  char* q = nullptr;
+  double v = strtod(p, &q);
+  if (q == p) return 0;
+  *out = v;
+  s->p = q;
+  s->at_line_start = false;
+  return 1;
+}
+
+// Parse the header far enough to learn the vertex count. Returns vertex
+// count or -1 on error; *after_header is unused (parse restarts for data).
+long rx_mesh_vertex_count(const char* text, long len) {
+  Scanner s{text, text + len, true};
+  double v;
+  if (!next_number(&s, &v)) return -1;
+  return (long)v;
+}
+
+// Full parse. vdata must hold vtx_cnt*ncomp floats, indices idx_cnt ints
+// (call rx_mesh_counts first). Returns 0 on success, negative on error.
+//   -1 bad vertex count     -2 EOF in vertices   -3 bad index count
+//   -4 EOF in indices       -5 out-of-range index
+long rx_mesh_parse(const char* text, long len, long ncomp,
+                   float* vdata, long vdata_cap,
+                   int32_t* indices, long idx_cap,
+                   long* out_vtx_cnt, long* out_idx_cnt) {
+  Scanner s{text, text + len, true};
+  double v;
+  if (!next_number(&s, &v) || v < 3) return -1;
+  long vtx_cnt = (long)v;
+  if (vtx_cnt * ncomp > vdata_cap) return -1;
+  for (long i = 0; i < vtx_cnt * ncomp; ++i) {
+    if (!next_number(&s, &v)) return -2;
+    vdata[i] = (float)v;
+  }
+  if (!next_number(&s, &v)) return -3;
+  long idx_cnt = (long)v;
+  if (idx_cnt % 3 != 0 || idx_cnt > idx_cap) return -3;
+  for (long i = 0; i < idx_cnt; ++i) {
+    if (!next_number(&s, &v)) return -4;
+    long idx = (long)v;
+    if (idx < 0 || idx >= vtx_cnt) return -5;
+    indices[i] = (int32_t)idx;
+  }
+  *out_vtx_cnt = vtx_cnt;
+  *out_idx_cnt = idx_cnt;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Radiance HDR (RGBE) decoding
+// ---------------------------------------------------------------------------
+
+// Decode the pixel payload (after the resolution line) of a -Y h +X w file
+// into float RGB using stb_image's convention c * 2^(e-136).
+// Returns 0 on success, negative on malformed input.
+long rx_hdr_decode(const uint8_t* data, long len, long w, long h, float* out) {
+  long pos = 0;
+  // Row of RGBE bytes, reused
+  uint8_t* row = (uint8_t*)malloc((size_t)w * 4);
+  if (!row) return -1;
+  for (long y = 0; y < h; ++y) {
+    bool new_rle = false;
+    if (w >= 8 && w <= 0x7FFF && pos + 4 <= len && data[pos] == 2 &&
+        data[pos + 1] == 2 && ((data[pos + 2] << 8) | data[pos + 3]) == w) {
+      new_rle = true;
+      pos += 4;
+    }
+    if (new_rle) {
+      for (int c = 0; c < 4; ++c) {
+        long x = 0;
+        while (x < w) {
+          if (pos >= len) { free(row); return -2; }
+          int count = data[pos++];
+          if (count > 128) {  // run
+            count -= 128;
+            if (pos >= len || x + count > w) { free(row); return -3; }
+            uint8_t val = data[pos++];
+            for (int k = 0; k < count; ++k) row[(x + k) * 4 + c] = val;
+            x += count;
+          } else {  // literal
+            if (pos + count > len || x + count > w) { free(row); return -4; }
+            for (int k = 0; k < count; ++k) row[(x + k) * 4 + c] = data[pos++];
+            x += count;
+          }
+        }
+      }
+    } else {
+      // Flat RGBE with old-style RLE repeat markers (1,1,1,count)
+      long x = 0;
+      int shift = 0;
+      while (x < w) {
+        if (pos + 4 > len) { free(row); return -5; }
+        const uint8_t* px = data + pos;
+        pos += 4;
+        if (px[0] == 1 && px[1] == 1 && px[2] == 1) {
+          long count = (long)px[3] << shift;
+          if (x == 0 || x + count > w) { free(row); return -6; }
+          for (long k = 0; k < count; ++k)
+            memcpy(row + (x + k) * 4, row + (x - 1) * 4, 4);
+          x += count;
+          shift += 8;
+        } else {
+          memcpy(row + x * 4, px, 4);
+          ++x;
+          shift = 0;
+        }
+      }
+    }
+    float* orow = out + y * w * 3;
+    for (long x = 0; x < w; ++x) {
+      int e = row[x * 4 + 3];
+      float f = e ? ldexpf(1.0f, e - 136) : 0.0f;
+      orow[x * 3 + 0] = row[x * 4 + 0] * f;
+      orow[x * 3 + 1] = row[x * 4 + 1] * f;
+      orow[x * 3 + 2] = row[x * 4 + 2] * f;
+    }
+  }
+  free(row);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,106 @@
+"""Per-triangle rasterization setup, batched over the whole mesh.
+
+TPU-native re-expression of the per-triangle preamble of the reference's
+scanline rasterizer (rasterizer.rs:1545-1634): 28.4 fixed-point vertex snap,
+backface cull via the 2·area cross product, bottom-left fill-convention
+biases folded into the edge-function constants, and the pixel AABB — all
+computed for every triangle at once as int32/float32 vector ops instead of
+per-triangle scalar code.
+
+Fixed-point conventions preserved exactly (they matter for golden-image
+parity): truncating ``* 16.0 as i32`` snap, ``(min3 + 0xF) >> 4`` AABB
+rounding, and the ``+1`` bias that turns the inside test into a sign-OR
+(rasterizer.rs:1630-1634, 1684).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class TriSetup(NamedTuple):
+    """Edge equations and interpolation planes for T triangles.
+
+    Edge i of the reference (e0: v0->v1, e1: v1->v2, e2: v2->v0) evaluates at
+    pixel (x, y) as ``A[i]*(x<<4) + B[i]*(y<<4) + C[i]`` in int32; inside =
+    sign-OR of all three >= 0. Barycentric b_i = e_i * inv_a2 - bias_i, with
+    vertex weights (v0, v1, v2) <- (b1, b2, b0).
+    """
+
+    A: jnp.ndarray        # i32 [T, 3] x-gradients (dy01, dy12, dy20)
+    B: jnp.ndarray        # i32 [T, 3] y-gradients (dx10, dx21, dx02)
+    C: jnp.ndarray        # i32 [T, 3] constants, fill bias + sign-OR bias folded in
+    bias: jnp.ndarray     # f32 [T, 3] (e_add + 1) * inv_a2, subtract for barycentrics
+    inv_a2: jnp.ndarray   # f32 [T]    reciprocal of 2*area
+    z0: jnp.ndarray       # f32 [T]    z at v0
+    z10: jnp.ndarray      # f32 [T]    z(v1) - z(v0)
+    z20: jnp.ndarray      # f32 [T]    z(v2) - z(v0)
+    min_x: jnp.ndarray    # i32 [T] pixel AABB, [min, max) convention,
+    min_y: jnp.ndarray    # i32 [T] clipped to the framebuffer
+    max_x: jnp.ndarray    # i32 [T]
+    max_y: jnp.ndarray    # i32 [T]
+    valid: jnp.ndarray    # bool [T] front-facing and non-empty AABB
+
+
+def setup_triangles(vp: jnp.ndarray, tris: jnp.ndarray, w: int, h: int) -> TriSetup:
+    """vp: f32 [V, 4] viewport-space vertices (x, y, z, 1/w); tris: i32 [T, 3]."""
+    v0 = vp[tris[:, 0]]
+    v1 = vp[tris[:, 1]]
+    v2 = vp[tris[:, 2]]
+
+    # 28.4 fixed point, truncating like the reference's `as i32`
+    x0 = (v0[:, 0] * 16.0).astype(jnp.int32)
+    y0 = (v0[:, 1] * 16.0).astype(jnp.int32)
+    x1 = (v1[:, 0] * 16.0).astype(jnp.int32)
+    y1 = (v1[:, 1] * 16.0).astype(jnp.int32)
+    x2 = (v2[:, 0] * 16.0).astype(jnp.int32)
+    y2 = (v2[:, 1] * 16.0).astype(jnp.int32)
+
+    dx10, dy01 = x1 - x0, y0 - y1
+    dx21, dy12 = x2 - x1, y1 - y2
+    dx02, dy20 = x0 - x2, y2 - y0
+
+    # Backface cull + 2*area (rasterizer.rs:1564-1566)
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    front = area2 > 0
+    inv_a2 = jnp.where(front, 1.0 / jnp.maximum(area2, 1).astype(jnp.float32), 0.0)
+
+    # Bottom-left fill convention biases (rasterizer.rs:1607-1613)
+    def fill_bias(dy, dx):
+        return jnp.where((dy > 0) | ((dy == 0) & (dx > 0)), 1, 0).astype(jnp.int32)
+
+    e0a = fill_bias(dy01, dx10)
+    e1a = fill_bias(dy12, dx21)
+    e2a = fill_bias(dy20, dx02)
+
+    # Constants with the extra +1 enabling the sign-OR inside test
+    C0 = x0 * y1 - y0 * x1 + e0a + 1
+    C1 = x1 * y2 - y1 * x2 + e1a + 1
+    C2 = x2 * y0 - y2 * x0 + e2a + 1
+
+    # Pixel AABB, rounding fixed point up (rasterizer.rs:1589-1592), clipped
+    def min3(a, b, c):
+        return jnp.minimum(a, jnp.minimum(b, c))
+
+    def max3(a, b, c):
+        return jnp.maximum(a, jnp.maximum(b, c))
+
+    min_x = jnp.maximum((min3(x0, x1, x2) + 0xF) >> 4, 0)
+    min_y = jnp.maximum((min3(y0, y1, y2) + 0xF) >> 4, 0)
+    max_x = jnp.minimum((max3(x0, x1, x2) + 0xF) >> 4, w)
+    max_y = jnp.minimum((max3(y0, y1, y2) + 0xF) >> 4, h)
+
+    valid = front & (max_x > min_x) & (max_y > min_y)
+
+    A = jnp.stack([dy01, dy12, dy20], axis=1)
+    B = jnp.stack([dx10, dx21, dx02], axis=1)
+    C = jnp.stack([C0, C1, C2], axis=1)
+    bias = (jnp.stack([e0a, e1a, e2a], axis=1) + 1).astype(jnp.float32) * inv_a2[:, None]
+
+    return TriSetup(
+        A=A, B=B, C=C, bias=bias, inv_a2=inv_a2,
+        z0=v0[:, 2], z10=v1[:, 2] - v0[:, 2], z20=v2[:, 2] - v0[:, 2],
+        min_x=min_x, min_y=min_y, max_x=max_x, max_y=max_y, valid=valid,
+    )

@@ -1,0 +1,294 @@
+"""The 16-shader library, vectorized over fragment batches.
+
+Reference: rasterizer.rs:816-1164. Each shader maps
+``(world_pos, world_normal, baked_color, eye, tick, cm) -> linear RGB`` where
+all tensor args carry arbitrary leading batch dims (a whole frame of
+fragments at once — the reference calls these once per fragment; here one
+call shades every pixel as pure VPU work).
+
+``cm`` is a cubemap set as a device array ``[5, 6, 64, 64, 3]`` indexed by
+convolution power {cos^0,1,8,64,512} (see assets/cubemap.py); lookups are
+major-axis point samples (rasterizer.rs:680-713) expressed as gathers.
+
+Fidelity notes kept from the reference: most shaders square the baked
+AO/radiosity color before use (e.g. rasterizer.rs:838), specular lobes are
+energy-normalized by (power+2)/2 (rasterizer.rs:872-875), and
+Plastic2xDirLight's pow16 uses the shifted 256-entry LUT
+(rasterizer.rs:1058-1127, reproduced in core/colors.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.colors import fast_unit_pow16
+
+# Power-index map into the [5, ...] cubemap array
+COS_0, COS_1, COS_8, COS_64, COS_512 = range(5)
+CM_FACE_WDH = 64
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def normalize(v):
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def fast_normalize(v):
+    """Reciprocal-sqrt normalize (rasterizer.rs:55-59)."""
+    import jax
+
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+
+def reflect(i, n):
+    """GLSL-style reflection (rasterizer.rs:61-63)."""
+    return i - n * (_dot(n, i) * 2.0)
+
+
+def normalize_phong_lobe(power: float) -> float:
+    return (power + 2.0) * 0.5
+
+
+def cm_texel_from_dir(d):
+    """Direction [..., 3] -> (face, ty, tx) int32 major-axis texel coords.
+
+    Reference: cm_texel_from_dir, rasterizer.rs:680-713. Scale-invariant, so
+    callers never need to normalize first.
+    """
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    x_major = (ax > ay) & (ax > az)
+    y_major = (ay > ax) & (ay > az)
+
+    face = jnp.where(
+        x_major,
+        jnp.where(dx > 0, 0, 1),
+        jnp.where(y_major, jnp.where(dy > 0, 2, 3), jnp.where(dz > 0, 4, 5)),
+    ).astype(jnp.int32)
+    major = jnp.where(x_major, ax, jnp.where(y_major, ay, az))
+    inv = 1.0 / jnp.maximum(major, 1e-30)
+    u = jnp.where(x_major, dz, dx) * inv
+    v = jnp.where(x_major, dy, jnp.where(y_major, dz, dy)) * inv
+
+    u = (u + 1.0) * 0.5
+    v = (v + 1.0) * 0.5
+    tx = jnp.clip((u * CM_FACE_WDH).astype(jnp.int32), 0, CM_FACE_WDH - 1)
+    ty = jnp.clip((v * CM_FACE_WDH).astype(jnp.int32), 0, CM_FACE_WDH - 1)
+    return face, ty, tx
+
+
+def lookup_texel_cm(cm, power: int, texel):
+    face, ty, tx = texel
+    return cm[power, face, ty, tx]
+
+
+def lookup_dir_cm(cm, power: int, d):
+    return lookup_texel_cm(cm, power, cm_texel_from_dir(d))
+
+
+def fresnel_conductor(cosi, eta: float, k: float):
+    """PBRT 1st-edition conductor Fresnel (rasterizer.rs:1033-1056)."""
+    tmp = (eta * eta + k * k) * cosi * cosi
+    r_par2 = (tmp - 2.0 * eta * cosi + 1.0) / (tmp + 2.0 * eta * cosi + 1.0)
+    tmp_f = eta * eta + k * k
+    r_per2 = (tmp_f - 2.0 * eta * cosi + cosi * cosi) / (
+        tmp_f + 2.0 * eta * cosi + cosi * cosi
+    )
+    return (r_par2 + r_per2) * 0.5
+
+
+# ---------------------------------------------------------------------------
+# Shaders. Signature: (p, n, col, eye, tick, cm) -> rgb, all [..., 3].
+# ---------------------------------------------------------------------------
+
+
+def shader_color(p, n, col, eye, tick, cm):
+    return col
+
+
+def shader_n_to_color(p, n, col, eye, tick, cm):
+    return (normalize(n) + 1.0) * 0.5
+
+
+def shader_headlight(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    l = fast_normalize(eye - p)
+    ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
+    return col * col * ldotn
+
+
+def shader_dir_light(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    eyev = p - eye
+    r = fast_normalize(reflect(eyev, nn))
+    l = jnp.array([0.577350269, 0.577350269, 0.577350269], dtype=jnp.float32)
+
+    def one_light(lv):
+        ldotn = jnp.clip(_dot(lv, nn), 0.0, 1.0)
+        ldotr = fast_unit_pow16(jnp.clip(_dot(lv, r), 0.0, 1.0))
+        return ldotn * 0.25 + ldotr * 0.75
+
+    light = (
+        jnp.array([1.0, 0.5, 0.5]) * one_light(l)
+        + jnp.array([0.5, 0.5, 1.0]) * one_light(-l)
+        + jnp.array([0.05, 0.05, 0.05])
+    )
+    return light * (col * col)
+
+
+def shader_cm_diffuse(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    return lookup_dir_cm(cm, COS_1, nn) * (col * col)
+
+
+def shader_cm_refl(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    return (
+        lookup_dir_cm(cm, COS_1, nn)
+        + lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0)
+        + lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0)
+    ) * (col * col)
+
+
+def shader_cm_coated(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    eyev = p - eye
+    r_tex = cm_texel_from_dir(reflect(eyev, nn))
+    fres = fresnel_conductor(_dot(-eyev, nn), 1.0, 1.1)
+    return (
+        lookup_dir_cm(cm, COS_1, nn) * 0.85
+        + lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0) * fres
+        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0) * fres * 1.5
+    ) * (col * col)
+
+
+def shader_cm_diff_rim(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    eyev = p - eye
+    fres = fresnel_conductor(_dot(-eyev, nn), 1.0, 1.1)
+    return (lookup_dir_cm(cm, COS_1, nn) + fres * 0.75) * col
+
+
+def shader_cm_glossy(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    r = reflect(p - eye, nn)
+    return (
+        lookup_dir_cm(cm, COS_1, nn)
+        + lookup_dir_cm(cm, COS_8, r) * normalize_phong_lobe(8.0)
+    ) * (col * col)
+
+
+def shader_cm_green_highlight(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    r = reflect(p - eye, nn)
+    return (
+        lookup_dir_cm(cm, COS_1, nn)
+        + lookup_dir_cm(cm, COS_64, r)
+        * normalize_phong_lobe(64.0)
+        * jnp.array([0.2, 0.8, 0.2])
+    ) * (col * col)
+
+
+def shader_cm_red_material(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    r = reflect(p - eye, nn)
+    return (
+        lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.8, 0.2, 0.2])
+        + lookup_dir_cm(cm, COS_512, r) * normalize_phong_lobe(512.0)
+    ) * (col * col)
+
+
+def shader_cm_metallic(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    return (
+        lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0)
+        + lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0)
+    ) * col
+
+
+def shader_cm_super_shiny(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    return (
+        lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0)
+        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0)
+        + lookup_texel_cm(cm, COS_0, r_tex)
+    ) * col
+
+
+def shader_cm_gold(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    l = fast_normalize(eye - p)
+    ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
+    r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    albedo = jnp.array([1.0, 0.76, 0.33])
+    return (
+        lookup_dir_cm(cm, COS_1, nn) * ldotn
+        + lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0)
+        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0) * (1.0 - ldotn)
+    ) * albedo * (col * col)
+
+
+def shader_cm_blue(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    l = fast_normalize(eye - p)
+    ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
+    r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    return (
+        lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.2, 0.2, 0.8]) * ldotn
+        + lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0) * 0.75
+        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0) * (1.0 - ldotn)
+    ) * (col * col)
+
+
+def shader_cm_blinn_schlick(p, n, col, eye, tick, cm):
+    nn = fast_normalize(n)
+    eyev = p - eye
+    r = reflect(eyev, nn)
+    h = normalize(nn + r)
+    w = 1.0 - jnp.clip(_dot(h, eyev), 0.0, 1.0)
+    w = w * w
+    return (
+        lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.8, 0.65, 1.0]) * w
+        + lookup_dir_cm(cm, COS_64, h) * normalize_phong_lobe(64.0) * (1.25 - w)
+    ) * (col * col)
+
+
+# (name, uses_cubemap, fn) — order matches rasterizer.rs:1135-1160.
+SHADER_TABLE = (
+    ("BakedColor", False, shader_color),
+    ("Normals", False, shader_n_to_color),
+    ("Headlight", False, shader_headlight),
+    ("Plastic2xDirLight", False, shader_dir_light),
+    ("CMDiffuse", True, shader_cm_diffuse),
+    ("CMRefl", True, shader_cm_refl),
+    ("CMCoated", True, shader_cm_coated),
+    ("CMDiffRim", True, shader_cm_diff_rim),
+    ("CMGlossy", True, shader_cm_glossy),
+    ("CMGreenHighlight", True, shader_cm_green_highlight),
+    ("CMRedMaterial", True, shader_cm_red_material),
+    ("CMMetallic", True, shader_cm_metallic),
+    ("CMSuperShiny", True, shader_cm_super_shiny),
+    ("CMGold", True, shader_cm_gold),
+    ("CMBlue", True, shader_cm_blue),
+    ("CMBlinnSchlick", True, shader_cm_blinn_schlick),
+)
+
+NUM_SHADERS = len(SHADER_TABLE)
+
+
+def shader_name(idx: int) -> str:
+    return SHADER_TABLE[idx][0]
+
+
+def shader_uses_cm(idx: int) -> bool:
+    return SHADER_TABLE[idx][1]
+
+
+def shader_fn(idx: int):
+    return SHADER_TABLE[idx][2]

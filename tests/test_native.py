@@ -1,0 +1,58 @@
+"""Native C++ loader runtime: cross-check against the numpy fallbacks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rustexp_tpu import native
+from rustexp_tpu.assets import hdr, mesh
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.available():
+        pytest.skip("native library unavailable (no g++?)")
+    return native
+
+
+def test_native_mesh_parse_matches_python(lib):
+    text = (
+        "# header\n3\n"
+        "0 0 0 0 0 1 0.5 0.25 0.125\n"
+        "1 0 0 0 0 1 1 1 1\n"
+        "0 1 0 0 0 1 0 0 0\n"
+        "3\n0 1 2\n"
+    )
+    vd_n, ix_n = lib.parse_mesh(text.encode(), 9)
+    vd_p, ix_p = mesh._parse_tokens_py(text, 9, "t")
+    np.testing.assert_array_equal(vd_n, vd_p)
+    np.testing.assert_array_equal(ix_n.ravel(), ix_p.ravel())
+
+
+def test_native_mesh_parse_rejects_bad_index(lib):
+    text = "3\n0 0 0 0 0 1\n1 0 0 0 0 1\n0 1 0 0 0 1\n3\n0 1 9\n"
+    with pytest.raises(ValueError):
+        lib.parse_mesh(text.encode(), 6)
+
+
+def test_native_hdr_matches_python(lib, reference_root):
+    p = os.path.join(reference_root, "envmaps", "grace", "env_cos_8_y-.hdr")
+    if not os.path.isfile(p):
+        pytest.skip("grace envmap missing")
+    img_native = hdr.load_hdr(p)
+    orig = native.available
+    native.available = lambda: False
+    try:
+        img_py = hdr.load_hdr(p)
+    finally:
+        native.available = orig
+    np.testing.assert_array_equal(img_native, img_py)
+
+
+def test_reference_mesh_via_native(lib, reference_root):
+    p = os.path.join(reference_root, "meshes", "cube.dat")
+    if not os.path.isfile(p):
+        pytest.skip("cube.dat missing")
+    m = mesh.load_mesh(p, mesh.XYZ_N_RGB)
+    assert m.num_tris == 12

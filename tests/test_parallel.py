@@ -54,3 +54,39 @@ def test_nbody_sharded_matches_single_device():
     got = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh))
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
+
+
+def test_raster_sharded_matches_single_device():
+    from rustexp_tpu.assets import cubemap, mesh as mesh_assets
+    from rustexp_tpu.parallel import raster_shard
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    w, h = 128, 128
+    scene = pp.make_scene(mesh_assets.make_cube(), cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(0.5))
+    want = np.asarray(pp.render_frame(
+        scene, eye, 0.5, w=w, h=h, per_pixel=True, shader_idx=2,
+        backend="xla", show_cm=False))
+    for n in (2, 4, 8):
+        dmesh = _mesh(n)
+        got = np.asarray(raster_shard.render_frame_sharded(
+            scene, eye, 0.5, dmesh, w=w, h=h, per_pixel=True, shader_idx=2))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+
+
+def test_raster_sharded_per_vertex():
+    from rustexp_tpu.assets import cubemap, mesh as mesh_assets
+    from rustexp_tpu.parallel import raster_shard
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    w, h = 128, 64
+    scene = pp.make_scene(mesh_assets.make_sphere(8, 16),
+                          cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(1.2))
+    want = np.asarray(pp.render_frame(
+        scene, eye, 1.2, w=w, h=h, per_pixel=False, shader_idx=5,
+        backend="xla", show_cm=False))
+    dmesh = _mesh(4)
+    got = np.asarray(raster_shard.render_frame_sharded(
+        scene, eye, 1.2, dmesh, w=w, h=h, per_pixel=False, shader_idx=5))
+    np.testing.assert_array_equal(got, want)

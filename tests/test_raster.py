@@ -1,0 +1,239 @@
+"""Rasterizer tests: setup, G-buffer oracle vs Pallas kernel, shading,
+modes, cameras, and the benchmark table."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustexp_tpu.assets import cubemap, mesh
+from rustexp_tpu.ops.raster_setup import setup_triangles
+from rustexp_tpu.ops.raster_xla import raster_gbuffer_xla
+from rustexp_tpu.ops.raster_pallas import bin_triangles, raster_gbuffer_pallas
+from rustexp_tpu.raster import camera, pipeline as pp, shaders as sh
+
+W, H = 128, 128  # pallas-tileable test frame
+
+
+def _vp(verts):
+    """Build a viewport-space vertex array [V,4] with 1/w=1 (no perspective)."""
+    v = np.asarray(verts, dtype=np.float32)
+    out = np.ones((len(v), 4), dtype=np.float32)
+    out[:, :3] = v
+    return jnp.asarray(out)
+
+
+def one_tri(z=0.5):
+    # CCW in bottom-left viewport coords
+    return _vp([[10, 10, z], [100, 10, z], [10, 100, z]]), jnp.array([[0, 1, 2]],
+                                                                     dtype=jnp.int32)
+
+
+class TestSetup:
+    def test_front_facing(self):
+        vp, tris = one_tri()
+        s = setup_triangles(vp, tris, W, H)
+        assert bool(s.valid[0])
+        # reversed winding is culled
+        s2 = setup_triangles(vp, tris[:, ::-1], W, H)
+        assert not bool(s2.valid[0])
+
+    def test_aabb(self):
+        vp, tris = one_tri()
+        s = setup_triangles(vp, tris, W, H)
+        assert int(s.min_x[0]) == 10 and int(s.min_y[0]) == 10
+        assert int(s.max_x[0]) == 100 and int(s.max_y[0]) == 100
+
+
+class TestGBuffer:
+    def test_coverage_and_barycentrics(self):
+        vp, tris = one_tri(z=0.25)
+        gb = raster_gbuffer_xla(setup_triangles(vp, tris, W, H), H, W)
+        tid = np.asarray(gb.tid)
+        assert tid[20, 20] == 0      # inside
+        assert tid[20, 110] == -1    # outside
+        assert tid[110, 20] == -1
+        z = np.asarray(gb.z)
+        assert abs(z[20, 20] - 0.25) < 1e-5
+        b = np.asarray(gb.b)[20, 20]
+        assert abs(b.sum() - 1.0) < 1e-3
+        assert np.all(b >= -1e-3)
+
+    def test_depth_order_and_ties(self):
+        # Two stacked triangles: nearer one must win; equal z -> first wins
+        vp = _vp([[10, 10, 0.5], [100, 10, 0.5], [10, 100, 0.5],
+                  [10, 10, 0.2], [100, 10, 0.2], [10, 100, 0.2]])
+        tris = jnp.array([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+        gb = raster_gbuffer_xla(setup_triangles(vp, tris, W, H), H, W)
+        assert np.asarray(gb.tid)[20, 20] == 1
+        vp_eq = _vp([[10, 10, 0.5], [100, 10, 0.5], [10, 100, 0.5]] * 2)
+        gb2 = raster_gbuffer_xla(setup_triangles(vp_eq, tris, W, H), H, W)
+        assert np.asarray(gb2.tid)[20, 20] == 0
+
+    def test_shared_edge_deterministic(self):
+        # Two triangles sharing a diagonal edge. The reference's sign-OR
+        # bias admits exact-boundary pixels into BOTH triangles
+        # (rasterizer.rs:1630-1634: stored e = e_true + fill_bias + 1, test
+        # >= 0), and the strict depth test then keeps the first-submitted
+        # one (rasterizer.rs:1704-1708). Verify that deterministic outcome.
+        vp = _vp([[10, 10, 0.5], [100, 10, 0.5], [100, 100, 0.5], [10, 100, 0.5]])
+        tris = jnp.array([[0, 1, 2], [0, 2, 3]], dtype=jnp.int32)
+        s = setup_triangles(vp, tris, W, H)
+        gb_a = raster_gbuffer_xla(setup_triangles(vp, tris[:1], W, H), H, W)
+        gb_b = raster_gbuffer_xla(setup_triangles(vp, tris[1:], W, H), H, W)
+        cov_a = np.asarray(gb_a.tid) >= 0
+        cov_b = np.asarray(gb_b.tid) >= 0
+        both = raster_gbuffer_xla(s, H, W)
+        tid = np.asarray(both.tid)
+        assert np.array_equal(tid >= 0, cov_a | cov_b)
+        # The full quad interior is covered with no holes along the diagonal
+        assert np.all(tid[20:90, 20:90] >= 0)
+        # Contested (double-claimed) pixels resolve to the first triangle
+        assert np.all(tid[cov_a & cov_b] == 0)
+        # On the exact diagonal the first-submitted triangle wins
+        assert tid[50, 50] == 0
+
+    def test_pallas_matches_xla(self):
+        m = mesh.make_sphere(12, 24)
+        scene = pp.make_scene(m, cubemap.make_procedural_set())
+        eye = camera.cam_orbit(0.7)
+        vp, _, _ = pp.transform_vertices(scene, jnp.asarray(eye), W, H)
+        s = setup_triangles(vp, scene.tris, W, H)
+        gx = raster_gbuffer_xla(s, H, W)
+        gp = raster_gbuffer_pallas(s, H, W)
+        assert np.array_equal(np.asarray(gx.tid), np.asarray(gp.tid))
+        assert np.array_equal(np.asarray(gx.z), np.asarray(gp.z))
+        assert np.array_equal(np.asarray(gx.b), np.asarray(gp.b))
+
+    def test_binning_counts(self):
+        vp, tris = one_tri()
+        s = setup_triangles(vp, tris, W, H)
+        bins = bin_triangles(s, H, W, cap=8)
+        counts = np.asarray(bins.counts)
+        # Triangle AABB [10,100)x[10,100) with 32x128 tiles -> rows 0..3, 1 col
+        assert counts.sum() == 4
+        assert not bool(bins.overflow)
+
+
+class TestShaders:
+    def _frag(self):
+        p = jnp.array([[0.1, 0.2, 0.3], [0.0, 0.0, 0.0]], dtype=jnp.float32)
+        n = jnp.array([[0.0, 1.0, 0.0], [1.0, 1.0, 0.0]], dtype=jnp.float32)
+        col = jnp.full((2, 3), 0.5, dtype=jnp.float32)
+        eye = jnp.array([1.8, 0.0, 0.0], dtype=jnp.float32)
+        cm = jnp.asarray(cubemap.make_procedural_set().data)
+        return p, n, col, eye, 0.3, cm
+
+    def test_all_shaders_finite(self):
+        args = self._frag()
+        for i in range(sh.NUM_SHADERS):
+            out = np.asarray(sh.shader_fn(i)(*args))
+            assert out.shape == (2, 3), sh.shader_name(i)
+            assert np.all(np.isfinite(out)), sh.shader_name(i)
+
+    def test_baked_color_passthrough(self):
+        p, n, col, eye, tick, cm = self._frag()
+        assert np.allclose(sh.shader_color(p, n, col, eye, tick, cm), col)
+
+    def test_normals_shader_range(self):
+        p, n, col, eye, tick, cm = self._frag()
+        out = np.asarray(sh.shader_n_to_color(p, n, col, eye, tick, cm))
+        assert np.all(out >= 0.0) and np.all(out <= 1.0)
+
+    def test_cm_lookup_faces(self):
+        # Distinct color per face; axis directions must hit the right face
+        data = np.zeros((5, 6, 64, 64, 3), dtype=np.float32)
+        for f in range(6):
+            data[:, f] = f + 1
+        cm = jnp.asarray(data)
+        dirs = jnp.array(
+            [[1, 0.1, 0.1], [-1, 0.1, 0.1], [0.1, 1, 0.1],
+             [0.1, -1, 0.1], [0.1, 0.1, 1], [0.1, 0.1, -1]],
+            dtype=jnp.float32,
+        )
+        got = np.asarray(sh.lookup_dir_cm(cm, sh.COS_1, dirs))[:, 0]
+        assert np.array_equal(got, [1, 2, 3, 4, 5, 6])
+
+    def test_fresnel_matches_reference_form(self):
+        # Monotone-ish sanity + a hand-computed value
+        v = float(np.asarray(sh.fresnel_conductor(jnp.float32(1.0), 1.0, 1.1)))
+        tmp = (1 + 1.1 * 1.1)
+        rp = (tmp - 2 + 1) / (tmp + 2 + 1)
+        rs = (tmp - 2 + 1) / (tmp + 2 + 1)
+        assert abs(v - (rp + rs) / 2) < 1e-6
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def cube_scene(self):
+        return pp.make_scene(mesh.make_cube(), cubemap.make_procedural_set())
+
+    def test_fill_renders_cube(self, cube_scene):
+        eye = camera.cam_orbit(0.5)
+        fb = np.asarray(pp.render_frame(
+            cube_scene, eye, 0.5, w=W, h=H, per_pixel=True, shader_idx=1,
+            backend="xla", show_cm=False))
+        bg = np.asarray(pp.background(0, W, H))
+        covered = fb != bg
+        assert 0.05 < covered.mean() < 0.9
+
+    def test_vertex_vs_pixel_baked_color_identical(self, cube_scene):
+        eye = camera.cam_orbit(0.5)
+        kw = dict(w=W, h=H, shader_idx=0, backend="xla", show_cm=False)
+        a = np.asarray(pp.render_frame(cube_scene, eye, 0.5, per_pixel=False, **kw))
+        b = np.asarray(pp.render_frame(cube_scene, eye, 0.5, per_pixel=True, **kw))
+        assert np.array_equal(a, b)
+
+    def test_point_and_line_modes(self, cube_scene):
+        eye = camera.cam_orbit(0.5)
+        fbp = np.asarray(pp.render_frame(
+            cube_scene, eye, 0.5, w=W, h=H, mode=pp.MODE_POINT, shader_idx=0,
+            show_cm=False))
+        fbl = np.asarray(pp.render_frame(
+            cube_scene, eye, 0.5, w=W, h=H, mode=pp.MODE_LINE, shader_idx=0,
+            show_cm=False))
+        assert (fbp == 0x00FFFFFF).sum() > 0
+        assert (fbl == 0x00FFFFFF).sum() > (fbp == 0x00FFFFFF).sum()
+
+    def test_background_gradient(self):
+        bg = np.asarray(pp.background(1, 8, 64))
+        # Bottom row = start (1.0, 0.4, 0.0): R=255, G=102, B=0
+        assert bg[0, 0] == (255 | (102 << 8))
+        # Top row = end (0.0, 0.5, 0.5)
+        assert bg[-1, 0] == ((127 << 8) | (127 << 16))
+
+    def test_cross_overlay(self, cube_scene):
+        eye = camera.cam_orbit(0.5)
+        fb_no = np.asarray(pp.render_frame(
+            cube_scene, eye, 0.5, w=W, h=H, shader_idx=5, show_cm=False,
+            backend="xla"))
+        fb_cm = np.asarray(pp.render_frame(
+            cube_scene, eye, 0.5, w=W, h=H, shader_idx=5, show_cm=True,
+            backend="xla"))
+        assert not np.array_equal(fb_no, fb_cm)
+        # Overlay pixel inside the cross region
+        assert fb_cm[50, 70] == np.asarray(cube_scene.cross)[40, 60]
+
+
+class TestCameras:
+    def test_orbit_radius(self):
+        e = camera.cam_orbit(1.0)
+        assert abs(np.hypot(e[0], e[2]) - 1.8) < 1e-5
+        assert e[1] == 0.0
+
+    def test_all_paths_finite(self):
+        for name in camera.CAMERAS:
+            for t in (0.0, 0.5, 3.6, 10.0):
+                e = camera.camera_eye(name, t)
+                assert np.all(np.isfinite(e)), (name, t)
+
+    def test_smootherstep(self):
+        assert camera.smootherstep(0, 1, 0.0) == 0.0
+        assert camera.smootherstep(0, 1, 1.0) == 1.0
+        assert abs(camera.smootherstep(0, 1, 0.5) - 0.5) < 1e-6
+
+
+def test_benchmark_table_matches_reference():
+    from rustexp_tpu.app.benchmark import REF_TOTAL_US, SCENES
+
+    assert sum(s[3] for s in SCENES) == REF_TOTAL_US == 27286
+    assert len(SCENES) == 12
