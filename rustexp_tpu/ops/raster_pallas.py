@@ -51,7 +51,7 @@ _F_CH = 7
 
 class BinnedTris(NamedTuple):
     setup_i: jnp.ndarray   # i32 [nT, cap, 14] per-tile triangle data
-    setup_f: jnp.ndarray   # f32 [nT, cap, 7]
+    setup_f: jnp.ndarray   # f32 [nT, cap, 7 + extra]
     ids: jnp.ndarray       # i32 [nT, cap] original triangle index per slot
     counts: jnp.ndarray    # i32 [nT] triangles in each bin (clamped to cap)
     overflow: jnp.ndarray  # bool [] any bin exceeded capacity (those tris drop)
@@ -60,6 +60,7 @@ class BinnedTris(NamedTuple):
 def bin_triangles(
     setup: TriSetup, h: int, w: int, cap: int,
     tile_h: int = TILE_H, tile_w: int = TILE_W,
+    extra_f: jnp.ndarray | None = None,
 ) -> BinnedTris:
     """Coverage-matrix binning with stable compaction.
 
@@ -93,26 +94,34 @@ def bin_triangles(
     k = ids.shape[1]
     slot_ok = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
 
-    def g(a):
-        return a[ids]
+    # Pack channels FIRST (cheap T-domain stacks), then gather whole rows
+    # with a single indexed read per array. One gather of [nT*cap] rows is
+    # ~20x cheaper than 21 per-channel gathers — gather cost on TPU is per
+    # index, not per byte.
+    T = setup.A.shape[0]
+    packed_i = jnp.concatenate(
+        [setup.A, setup.B, setup.C,
+         setup.min_x[:, None], setup.min_y[:, None],
+         setup.max_x[:, None], setup.max_y[:, None],
+         jnp.arange(T, dtype=jnp.int32)[:, None]],
+        axis=1,
+    )  # [T, 14]
+    f_parts = [setup.bias, setup.z0[:, None], setup.z10[:, None],
+               setup.z20[:, None], setup.inv_a2[:, None]]
+    if extra_f is not None:
+        f_parts.append(extra_f)
+    packed_f = jnp.concatenate(f_parts, axis=1)  # [T, 7 + extra]
 
+    setup_i = packed_i[ids.reshape(-1)].reshape(ids.shape[0], k, _I_CH)
+    setup_f = packed_f[ids.reshape(-1)].reshape(ids.shape[0], k, -1)
     # Padding slots get an empty AABB so they can never touch a pixel
-    min_x, min_y = g(setup.min_x), g(setup.min_y)
-    max_x = jnp.where(slot_ok, g(setup.max_x), 0)
-    max_y = jnp.where(slot_ok, g(setup.max_y), 0)
-
-    setup_i = jnp.stack(
-        [g(setup.A[:, 0]), g(setup.A[:, 1]), g(setup.A[:, 2]),
-         g(setup.B[:, 0]), g(setup.B[:, 1]), g(setup.B[:, 2]),
-         g(setup.C[:, 0]), g(setup.C[:, 1]), g(setup.C[:, 2]),
-         min_x, min_y, max_x, max_y, ids],
-        axis=2,
-    )  # [nT, k, 14]
-    setup_f = jnp.stack(
-        [g(setup.bias[:, 0]), g(setup.bias[:, 1]), g(setup.bias[:, 2]),
-         g(setup.z0), g(setup.z10), g(setup.z20), g(setup.inv_a2)],
-        axis=2,
-    )  # [nT, k, 7]
+    empty = ~slot_ok[..., None]
+    setup_i = jnp.where(
+        jnp.broadcast_to(empty, setup_i.shape)
+        & (jnp.arange(_I_CH)[None, None, :] >= 11)
+        & (jnp.arange(_I_CH)[None, None, :] <= 12),
+        0, setup_i,
+    )
     if k < cap:  # argsort returned fewer rows than capacity (T < cap)
         pad = cap - k
         setup_i = jnp.pad(setup_i, ((0, 0), (0, pad), (0, 0)))
@@ -123,7 +132,8 @@ def bin_triangles(
 
 def _tile_kernel(counts_ref, si_ref, sf_ref,
                  z_ref, tid_ref, b0_ref, b1_ref, b2_ref,
-                 *, tile_h: int, tile_w: int, ntx: int, chunk_size: int):
+                 *, tile_h: int, tile_w: int, ntx: int, chunk_size: int,
+                 group: int = GROUP):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tk = pl.program_id(2)
@@ -146,23 +156,23 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
         b2_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
     remaining = count - tk * chunk_size
-    n_groups = jnp.clip(pl.cdiv(remaining, GROUP), 0, chunk_size // GROUP)
+    n_groups = jnp.clip(pl.cdiv(remaining, group), 0, chunk_size // group)
 
     def chunk(c, _):
-        base = pl.multiple_of(c * GROUP, GROUP)
-        si = si_ref[0, pl.ds(base, GROUP), :]  # i32 [G, 14]
-        sf = sf_ref[0, pl.ds(base, GROUP), :]  # f32 [G, 7]
+        base = pl.multiple_of(c * group, group)
+        si = si_ref[0, pl.ds(base, group), :]  # i32 [G, 14]
+        sf = sf_ref[0, pl.ds(base, group), :]  # f32 [G, 7]
 
         # Per-triangle constants pre-broadcast to [G, th, 1]: every later op
         # against [*, th, tw] values then only broadcasts along lanes (or
         # dim 0); a simultaneous sublane+lane broadcast does not lower.
         def ci(ch):
-            return jnp.broadcast_to(si[:, ch].reshape(GROUP, 1, 1),
-                                    (GROUP, tile_h, 1))
+            return jnp.broadcast_to(si[:, ch].reshape(group, 1, 1),
+                                    (group, tile_h, 1))
 
         def cf(ch):
-            return jnp.broadcast_to(sf[:, ch].reshape(GROUP, 1, 1),
-                                    (GROUP, tile_h, 1))
+            return jnp.broadcast_to(sf[:, ch].reshape(group, 1, 1),
+                                    (group, tile_h, 1))
 
         # Edge functions for all GROUP triangles over the whole tile
         e0 = ci(0) * xf + ci(3) * yf + ci(6)
@@ -182,7 +192,7 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
         # The winner's BIN SLOT (a true scalar, so it splats cleanly) is
         # recorded; slots map back to triangle ids outside the kernel.
         slot0 = tk * chunk_size + base
-        for g in range(GROUP):
+        for g in range(group):
             upd = zm[g] < z_ref[:]
             z_ref[:] = jnp.where(upd, zm[g], z_ref[:])
             tid_ref[:] = jnp.where(upd, slot0 + g, tid_ref[:])
@@ -195,11 +205,11 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "cap", "tile_h", "tile_w",
-                                             "chunk", "interpret"))
+                                             "chunk", "group", "interpret"))
 def raster_gbuffer_pallas(
     setup: TriSetup, h: int, w: int, cap: int | None = None,
     tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 512,
-    interpret: bool | None = None,
+    group: int = GROUP, interpret: bool | None = None,
 ) -> GBuffer:
     """Rasterize to a G-buffer with the binned tile kernel.
 
@@ -216,8 +226,8 @@ def raster_gbuffer_pallas(
     T = setup.A.shape[0]
     if cap is None:
         cap = min(_round_up(T, 512), 32768)
-    cap = min(cap, _round_up(T, GROUP))
-    chunk = min(chunk, _round_up(cap, GROUP))
+    cap = min(cap, _round_up(T, group))
+    chunk = min(chunk, _round_up(cap, group))
     cap = _round_up(cap, chunk)
     nty, ntx = h // tile_h, w // tile_w
     n_k = cap // chunk
@@ -248,22 +258,218 @@ def raster_gbuffer_pallas(
         jax.ShapeDtypeStruct((h, w), jnp.float32),
     ]
     kernel = functools.partial(_tile_kernel, tile_h=tile_h, tile_w=tile_w,
-                               ntx=ntx, chunk_size=chunk)
+                               ntx=ntx, chunk_size=chunk, group=group)
     z, slot, b0, b1, b2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(bins.counts, bins.setup_i, bins.setup_f)
-    # Map winning bin slots back to original triangle ids
+    # Map winning bin slots back to original triangle ids (flat single-index
+    # gather — multi-dim advanced indexing hits XLA:TPU's slow gather path)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     tile_idx = (ys // tile_h) * ntx + xs // tile_w
-    tid = jnp.where(
-        slot >= 0, bins.ids[tile_idx, jnp.maximum(slot, 0)], -1
-    ).astype(jnp.int32)
+    flat = (tile_idx * cap + jnp.maximum(slot, 0)).reshape(-1)
+    gathered = bins.ids.reshape(-1)[flat].reshape(h, w)
+    tid = jnp.where(slot >= 0, gathered, -1).astype(jnp.int32)
     return GBuffer(z=z, tid=tid, b=jnp.stack([b0, b1, b2], axis=-1))
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Attribute-interpolating variant: the zero-gather production path
+# ---------------------------------------------------------------------------
+#
+# Per-pixel gathers (triangle id -> vertex attributes) are catastrophically
+# slow on TPU (~100 ns/index on the scalar core). This kernel therefore
+# interpolates vertex attributes *during* rasterization — like the reference
+# does inside its inner loop (rasterizer.rs:1713-1744) — so the output is a
+# stack of screen-space attribute planes and shading needs no gathers at all.
+#
+# Two interpolation forms, matching the reference exactly:
+#   * "2MAD":   q0 + q10*b2 + q20*b0          (colors, 1/w; rasterizer.rs:1656-1663)
+#   * "3W":     qb1*b1 + qb2*b2 + qb0*b0      (world pos, normals; rasterizer.rs:1725-1733)
+# Both are linear in the barycentrics; each channel costs 2-3 MADs per
+# candidate and one merge per group. The final perspective divide by the
+# interpolated 1/w happens outside the kernel (pure elementwise XLA).
+
+
+def attr_channels_2mad(iw0, iw1, iw2, a0, a1, a2):
+    """Per-triangle (q0, q10, q20) triples for 2MAD channels: a/w form."""
+    q0 = a0 * iw0[:, None]
+    return jnp.concatenate(
+        [q0, a1 * iw1[:, None] - q0, a2 * iw2[:, None] - q0], axis=1
+    )
+
+
+def attr_channels_3w(iw0, iw1, iw2, a0, a1, a2):
+    """Per-triangle (qb1, qb2, qb0) triples for 3-weight channels."""
+    return jnp.concatenate(
+        [a0 * iw0[:, None], a1 * iw1[:, None], a2 * iw2[:, None]], axis=1
+    )
+
+
+def _attr_tile_kernel(counts_ref, si_ref, sf_ref, *out_refs,
+                      tile_h: int, tile_w: int, ntx: int, chunk_size: int,
+                      n2: int, n3: int, group: int = GROUP):
+    z_ref, slot_ref = out_refs[0], out_refs[1]
+    lin_refs = out_refs[2:]
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tk = pl.program_id(2)
+    count = counts_ref[ti * ntx + tj]
+
+    shape3 = (1, tile_h, tile_w)
+    xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
+    ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+    xf = xs << 4
+    yf = ys << 4
+
+    @pl.when(tk == 0)
+    def _init():
+        z_ref[:] = jnp.ones((tile_h, tile_w), jnp.float32)
+        slot_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        for r in lin_refs:
+            r[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    remaining = count - tk * chunk_size
+    n_groups = jnp.clip(pl.cdiv(remaining, group), 0, chunk_size // group)
+
+    def chunk(c, _):
+        base = pl.multiple_of(c * group, group)
+        si = si_ref[0, pl.ds(base, group), :]
+        sf = sf_ref[0, pl.ds(base, group), :]
+
+        def ci(ch):
+            return jnp.broadcast_to(si[:, ch].reshape(group, 1, 1),
+                                    (group, tile_h, 1))
+
+        def cf(ch):
+            return jnp.broadcast_to(sf[:, ch].reshape(group, 1, 1),
+                                    (group, tile_h, 1))
+
+        e0 = ci(0) * xf + ci(3) * yf + ci(6)
+        e1 = ci(1) * xf + ci(4) * yf + ci(7)
+        e2 = ci(2) * xf + ci(5) * yf + ci(8)
+        inside = (e0 | e1 | e2) >= 0
+        in_box = ((xs >= ci(9)) & (ys >= ci(10))
+                  & (xs < ci(11)) & (ys < ci(12)))
+        inv_a2 = cf(6)
+        b0 = e0.astype(jnp.float32) * inv_a2 - cf(0)
+        b1 = e1.astype(jnp.float32) * inv_a2 - cf(1)
+        b2 = e2.astype(jnp.float32) * inv_a2 - cf(2)
+        zi = cf(3) + cf(4) * b2 + cf(5) * b0
+        zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
+
+        # Interpolated linear parts for every attribute channel, [G, th, tw]
+        lins = []
+        off = 7
+        for a in range(n2):
+            lins.append(cf(off + a) + cf(off + n2 + a) * b2
+                        + cf(off + 2 * n2 + a) * b0)
+        off = 7 + 3 * n2
+        for a in range(n3):
+            lins.append(cf(off + a) * b1 + cf(off + n3 + a) * b2
+                        + cf(off + 2 * n3 + a) * b0)
+
+        slot0 = tk * chunk_size + base
+        for g in range(group):
+            upd = zm[g] < z_ref[:]
+            z_ref[:] = jnp.where(upd, zm[g], z_ref[:])
+            slot_ref[:] = jnp.where(upd, slot0 + g, slot_ref[:])
+            for r, lin in zip(lin_refs, lins):
+                r[:] = jnp.where(upd, lin[g], r[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, chunk, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "n3", "h", "w", "cap",
+                                             "tile_h", "tile_w", "chunk",
+                                             "group", "interpret"))
+def raster_attrs_pallas(
+    setup: TriSetup, extra_f: jnp.ndarray, n2: int, n3: int,
+    h: int, w: int, cap: int | None = None,
+    tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 512,
+    group: int = GROUP, interpret: bool | None = None,
+):
+    """Rasterize + interpolate attributes in one kernel.
+
+    extra_f: f32 [T, 3*(n2+n3)] channel triples laid out as
+    [n2 x q0][n2 x q10][n2 x q20][n3 x qb1][n3 x qb2][n3 x qb0].
+    Returns (z [h,w], mask bool [h,w], lin f32 [n2+n3, h, w]) where `lin`
+    still needs the perspective divide by the interpolated-1/w channel.
+    """
+    if h % tile_h or w % tile_w:
+        raise ValueError(f"frame {h}x{w} not divisible by tile {tile_h}x{tile_w}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert extra_f.shape[1] == 3 * (n2 + n3)
+
+    T = setup.A.shape[0]
+    if cap is None:
+        cap = min(_round_up(T, 512), 32768)
+    cap = min(cap, _round_up(T, group))
+    chunk = min(chunk, _round_up(cap, group))
+    cap = _round_up(cap, chunk)
+    nty, ntx = h // tile_h, w // tile_w
+    n_k = cap // chunk
+
+    bins = bin_triangles(setup, h, w, cap, tile_h, tile_w, extra_f=extra_f)
+    f_ch = 7 + 3 * (n2 + n3)
+
+    n_planes = n2 + n3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx, n_k),
+        in_specs=[
+            pl.BlockSpec((1, chunk, _I_CH),
+                         lambda i, j, k, *_: (i * ntx + j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, f_ch),
+                         lambda i, j, k, *_: (i * ntx + j, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, k, *_: (i, j),
+                         memory_space=pltpu.VMEM)
+        ] * (2 + n_planes),
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((h, w), jnp.float32),
+         jax.ShapeDtypeStruct((h, w), jnp.int32)]
+        + [jax.ShapeDtypeStruct((h, w), jnp.float32)] * n_planes
+    )
+    kernel = functools.partial(
+        _attr_tile_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx,
+        chunk_size=chunk, n2=n2, n3=n3, group=group,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(bins.counts, bins.setup_i, bins.setup_f)
+    z, slot = outs[0], outs[1]
+    lin = jnp.stack(outs[2:], axis=0)
+    return z, slot >= 0, lin
+
+
+def max_bin_count(setup: TriSetup, h: int, w: int,
+                  tile_h: int = TILE_H, tile_w: int = TILE_W) -> jnp.ndarray:
+    """Cheap per-frame bound on bin occupancy, for adaptive-cap callers."""
+    nty, ntx = pl.cdiv(h, tile_h), pl.cdiv(w, tile_w)
+    tx_lo = setup.min_x // tile_w
+    tx_hi = (setup.max_x - 1) // tile_w
+    ty_lo = setup.min_y // tile_h
+    ty_hi = (setup.max_y - 1) // tile_h
+    tx = jnp.arange(ntx, dtype=jnp.int32)
+    ty = jnp.arange(nty, dtype=jnp.int32)
+    cov_x = (tx[None, :] >= tx_lo[:, None]) & (tx[None, :] <= tx_hi[:, None])
+    cov_y = (ty[None, :] >= ty_lo[:, None]) & (ty[None, :] <= ty_hi[:, None])
+    cov = cov_y[:, :, None] & cov_x[:, None, :] & setup.valid[:, None, None]
+    return cov.reshape(-1, nty * ntx).sum(axis=0).max()

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.colors import pack_abgr32, pack_abgr32_gamma
+from ..core.colors import pack_abgr32, pack_abgr32_gamma_arith
 from ..ops.raster_setup import setup_triangles
 from ..ops.raster_xla import GBuffer, raster_gbuffer_xla
 from . import shaders as sh
@@ -159,12 +159,17 @@ def shade_gbuffer(
     Interpolation matches rasterizer.rs:1695-1744: z/w-linear screen-space
     barycentrics with perspective correction through interpolated 1/w.
     """
+    h, w = gb.tid.shape
     mask = gb.tid >= 0
-    t = jnp.maximum(gb.tid, 0)
-    i0, i1, i2 = scene.tris[t, 0], scene.tris[t, 1], scene.tris[t, 2]
-    b0, b1, b2 = gb.b[..., 0], gb.b[..., 1], gb.b[..., 2]
+    # Flat 1-D indices: multi-dim advanced indexing takes XLA:TPU's slow
+    # gather path; flat single-index gathers are ~300x faster.
+    t = jnp.maximum(gb.tid, 0).reshape(-1)
+    i0, i1, i2 = scene.tris[:, 0][t], scene.tris[:, 1][t], scene.tris[:, 2][t]
+    b = gb.b.reshape(-1, 3)
+    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
 
-    inv_w0, inv_w1, inv_w2 = vp[i0, 3], vp[i1, 3], vp[i2, 3]
+    vp_w = vp[:, 3]
+    inv_w0, inv_w1, inv_w2 = vp_w[i0], vp_w[i1], vp_w[i2]
     w_raster = 1.0 / (inv_w0 + (inv_w1 - inv_w0) * b2 + (inv_w2 - inv_w0) * b0)
 
     def persp_lerp_2mad(a0, a1, a2):
@@ -190,7 +195,58 @@ def shade_gbuffer(
     else:
         out = c  # vertices were pre-shaded
 
-    packed = pack_abgr32_gamma(out[..., 0], out[..., 1], out[..., 2])
+    packed = pack_abgr32_gamma_arith(
+        out[..., 0], out[..., 1], out[..., 2]
+    ).reshape(h, w)
+    return jnp.where(mask, packed, bg_fb)
+
+
+def raster_and_shade_pallas(
+    scene: Scene, setup, vp, world, n_world, colors, eye, tick,
+    *, w: int, h: int, per_pixel: bool, shader_idx: int, bg_fb, cap=None,
+):
+    """Zero-gather Fill path: attributes interpolate inside the tile kernel.
+
+    Per-pixel gathers cost ~100 ns/index on TPU's scalar core, so instead of
+    a (tri-id, barycentric) G-buffer + gather-based deferred pass, the Pallas
+    kernel interpolates 1/w, color (and world pos + normal when shading
+    per-pixel) as screen-space planes — the same interpolation the reference
+    runs per fragment (rasterizer.rs:1713-1744). Shading is then pure
+    elementwise VPU work.
+    """
+    from ..ops.raster_pallas import (
+        attr_channels_2mad, attr_channels_3w, raster_attrs_pallas,
+    )
+
+    tris = scene.tris
+    i0, i1, i2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    iw0, iw1, iw2 = vp[i0, 3], vp[i1, 3], vp[i2, 3]
+    ones = jnp.ones((tris.shape[0], 1), jnp.float32)
+
+    def cat2(ci):
+        return jnp.concatenate([ones, colors[ci]], axis=1)
+
+    f2 = attr_channels_2mad(iw0, iw1, iw2, cat2(i0), cat2(i1), cat2(i2))
+    n2, n3 = 4, 0
+    extra = f2
+    if per_pixel:
+        def cat3(ci):
+            return jnp.concatenate([world[ci], n_world[ci]], axis=1)
+
+        f3 = attr_channels_3w(iw0, iw1, iw2, cat3(i0), cat3(i1), cat3(i2))
+        extra = jnp.concatenate([f2, f3], axis=1)
+        n3 = 6
+
+    z, mask, lin = raster_attrs_pallas(setup, extra, n2, n3, h, w, cap=cap)
+    wr = 1.0 / lin[0]
+    c = (lin[1:4] * wr).transpose(1, 2, 0)
+    if per_pixel:
+        p = (lin[4:7] * wr).transpose(1, 2, 0)
+        n = (lin[7:10] * wr).transpose(1, 2, 0)
+        out = sh.shader_fn(shader_idx)(p, n, c, eye, tick, scene.cm)
+    else:
+        out = c
+    packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
     return jnp.where(mask, packed, bg_fb)
 
 
@@ -277,10 +333,33 @@ def overlay_cross(fb, cross, xorg: int = 10, yorg: int = 10):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("w", "h"))
+def _max_bin_count_jit(scene: Scene, eye, w: int, h: int):
+    from ..ops.raster_pallas import max_bin_count
+
+    vp, _, _ = transform_vertices(scene, eye, w, h)
+    setup = setup_triangles(vp, scene.tris, w, h)
+    return max_bin_count(setup, h, w)
+
+
+def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
+    """Pick a power-of-two bin capacity for this scene/viewpoint.
+
+    The tile kernel's bin capacity is a static shape; oversizing it streams
+    empty chunks (HBM traffic + grid steps), undersizing drops triangles.
+    One cheap device round-trip bounds the real maximum, and the margin
+    absorbs camera motion without recompiling every frame.
+    """
+    m = int(_max_bin_count_jit(scene, jnp.asarray(eye, jnp.float32), w, h))
+    need = max(512, int(m * margin))
+    return (need + 511) // 512 * 512  # chunk-multiple; bin cost scales with cap
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "w", "h", "mode", "per_pixel", "shader_idx", "bg_idx", "show_cm", "backend",
+        "w", "h", "mode", "per_pixel", "shader_idx", "bg_idx", "show_cm",
+        "backend", "raster_cap",
     ),
 )
 def render_frame(
@@ -296,6 +375,7 @@ def render_frame(
     bg_idx: int = 0,
     show_cm: bool | None = None,
     backend: str = "auto",
+    raster_cap: int | None = None,
 ):
     """Render one frame -> uint32 ABGR [h, w], bottom-left origin.
 
@@ -323,18 +403,22 @@ def render_frame(
                 world, n_world, scene.colors, eye, tick, scene.cm
             )
         setup = setup_triangles(vp, scene.tris, w, h)
-        from ..ops.raster_pallas import TILE_H, TILE_W, raster_gbuffer_pallas
+        from ..ops.raster_pallas import TILE_H, TILE_W
 
         tileable = h % TILE_H == 0 and w % TILE_W == 0
         use_pallas = backend == "pallas" or (backend == "auto" and tileable)
         if use_pallas:
-            gb = raster_gbuffer_pallas(setup, h, w)
+            fb = raster_and_shade_pallas(
+                scene, setup, vp, world, n_world, colors, eye, tick,
+                w=w, h=h, per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,
+                cap=raster_cap,
+            )
         else:
             gb = raster_gbuffer_xla(setup, h, w)
-        fb = shade_gbuffer(
-            gb, scene, vp, world, n_world, colors, eye, tick,
-            per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,
-        )
+            fb = shade_gbuffer(
+                gb, scene, vp, world, n_world, colors, eye, tick,
+                per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,
+            )
 
     if show_cm:
         fb = overlay_cross(fb, scene.cross)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.colors import fast_unit_pow16
+from ..core.colors import fast_unit_pow16_arith as fast_unit_pow16
 
 # Power-index map into the [5, ...] cubemap array
 COS_0, COS_1, COS_8, COS_64, COS_512 = range(5)
@@ -81,8 +81,13 @@ def cm_texel_from_dir(d):
 
 
 def lookup_texel_cm(cm, power: int, texel):
+    """Single flat-index gather: multi-array advanced indexing hits XLA:TPU's
+    slow gather path (~100 ns/idx); a flat 1-D index into a [E, 3] table is
+    ~300x faster. The batch shape is restored afterwards."""
     face, ty, tx = texel
-    return cm[power, face, ty, tx]
+    flat = ((face * CM_FACE_WDH + ty) * CM_FACE_WDH + tx).reshape(-1)
+    table = cm[power].reshape(-1, 3)
+    return table[flat].reshape(face.shape + (3,))
 
 
 def lookup_dir_cm(cm, power: int, d):

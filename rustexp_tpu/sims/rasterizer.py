@@ -38,26 +38,28 @@ class RasterizerExperiment:
     def init(self, **config) -> RasterState:
         return RasterState(**config)
 
-    def _scene(self, state: RasterState) -> pp.Scene:
-        key = (state.mesh_idx, state.env_idx)
-        if state._scene_cache is None or state._scene_cache[:2] != key:
+    def _scene(self, state: RasterState, w: int, h: int):
+        key = (state.mesh_idx, state.env_idx, w, h)
+        if state._scene_cache is None or state._scene_cache[0] != key:
             scene = pp.make_scene(
                 mesh.get_mesh(state.mesh_idx), cubemap.get_cm_set(state.env_idx)
             )
-            state._scene_cache = (*key, scene)
-        return state._scene_cache[2]
+            eye0 = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), 0.0)
+            cap = pp.suggest_cap(scene, eye0, w, h)
+            state._scene_cache = (key, scene, cap)
+        return state._scene_cache[1], state._scene_cache[2]
 
     def step(self, state: RasterState) -> RasterState:
         return state  # all per-frame work happens in render (like the reference)
 
     def render(self, state: RasterState, w: int, h: int, tick: float = 0.0):
-        scene = self._scene(state)
+        scene, cap = self._scene(state, w, h)
         eye = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), tick)
         t0 = time.perf_counter()
         fb = pp.render_frame(
             scene, eye, tick, w=w, h=h, mode=state.mode,
             per_pixel=state.per_pixel, shader_idx=state.shader_idx,
-            bg_idx=state.bg_idx, backend=state.backend,
+            bg_idx=state.bg_idx, backend=state.backend, raster_cap=cap,
         )
         jax.block_until_ready(fb)
         state.frame_times.push(time.perf_counter() - t0)

@@ -183,6 +183,19 @@ class TestPipeline:
         b = np.asarray(pp.render_frame(cube_scene, eye, 0.5, per_pixel=True, **kw))
         assert np.array_equal(a, b)
 
+    def test_pallas_attr_path_matches_xla(self):
+        # The zero-gather pallas path (in-kernel attribute interpolation)
+        # must reproduce the oracle's gather-based deferred shading exactly.
+        scene = pp.make_scene(mesh.make_sphere(12, 24),
+                              cubemap.make_procedural_set())
+        eye = camera.cam_orbit(0.7)
+        for per_pixel in (False, True):
+            kw = dict(w=W, h=H, per_pixel=per_pixel, shader_idx=5,
+                      show_cm=False)
+            a = np.asarray(pp.render_frame(scene, eye, 0.7, backend="xla", **kw))
+            b = np.asarray(pp.render_frame(scene, eye, 0.7, backend="pallas", **kw))
+            assert np.array_equal(a, b), f"per_pixel={per_pixel}"
+
     def test_point_and_line_modes(self, cube_scene):
         eye = camera.cam_orbit(0.5)
         fbp = np.asarray(pp.render_frame(
