@@ -61,7 +61,9 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "palla
     cm = cubemap.get_cm_set(ENV)
     scene = pp.make_scene(m, cm)
     eye = camera.camera_eye(mesh.mesh_camera(mesh_idx), TICK)
-    cap = pp.suggest_cap(scene, eye, W, H) if backend != "xla" else None
+    cap = spans = None
+    if backend != "xla":
+        cap, spans = pp.suggest_binning(scene, eye, W, H)
     K = FRAMES_PER_DISPATCH
     eyes = jnp.broadcast_to(jnp.asarray(eye), (K, 3))
 
@@ -72,6 +74,7 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "palla
                 scene, e, TICK, w=W, h=H, mode=pp.MODE_FILL,
                 per_pixel=per_pixel, shader_idx=SHADER, bg_idx=0,
                 show_cm=False, backend=backend, raster_cap=cap,
+                raster_spans=spans,
             )
             return c, jnp.sum(fb, dtype=jnp.uint32)
         _, sums = jax.lax.scan(body, 0, eyes)
@@ -109,4 +112,89 @@ def run_suite(runs: int = 20, backend: str = "pallas", verbose: bool = True):
         "value": round(mpix_s, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(ref_total / (total_s * 1e6), 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Secondary headline benchmarks: GoL cell-updates/s, N-body steps/s.
+# Same sustained-throughput methodology as bench_scene (work batched on
+# device inside one dispatch, checksums pulled to the host).
+# ---------------------------------------------------------------------------
+
+
+def bench_gol(generations_per_dispatch: int = 4096, runs: int = 3,
+              n: int = 256, backend: str = "pallas"):
+    """Generations/s on the n x n torus (reference: 256, gol.rs:8)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import gol_stencil
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.integers(0, 2, (n, n)).astype(np.int32))
+    k = generations_per_dispatch
+
+    if backend == "pallas" and n > 512:
+        backend = "mxu"
+
+    @jax.jit
+    def run(g):
+        if backend == "pallas":
+            out = gol_stencil.multi_step_pallas(g, jnp.int32(k))
+        else:
+            out = gol_stencil.multi_step(g, k, backend)
+        return jnp.sum(out, dtype=jnp.int32)
+
+    np.asarray(run(grid))
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        np.asarray(run(grid))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return {
+        "metric": "gol_cell_updates_per_s",
+        "value": float(f"{n * n / best:.3g}"),
+        "unit": "cells/s",
+        "gens_per_s": round(1.0 / best),
+    }
+
+
+def bench_nbody(n: int = 131072, steps_per_dispatch: int = 16, runs: int = 3,
+                backend: str = "pallas", approx_recip: bool = True):
+    """Brute-force O(N^2) steps/s (north-star config: N=131072)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import nbody_forces, nbody_pallas
+    from ..sims.nbody import stable_orbits
+
+    px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), n)
+    k = steps_per_dispatch
+
+    @jax.jit
+    def run(px, py, vx, vy, m):
+        def body(c, _):
+            px, py, vx, vy = c
+            if backend == "pallas":
+                px, py, vx, vy = nbody_pallas.step_brute_pallas(
+                    px, py, vx, vy, m, 1024, approx_recip)
+            else:
+                px, py, vx, vy = nbody_forces.step_brute_force(px, py, vx, vy, m,
+                                                               block=1024)
+            return (px, py, vx, vy), 0
+        (px, py, vx, vy), _ = jax.lax.scan(body, (px, py, vx, vy),
+                                           None, length=k)
+        return jnp.sum(px) + jnp.sum(vy)
+
+    np.asarray(run(px, py, vx, vy, m))
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        np.asarray(run(px, py, vx, vy, m))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return {
+        "metric": "nbody_steps_per_s",
+        "value": round(1.0 / best, 2),
+        "unit": "steps/s",
+        "n": n,
     }

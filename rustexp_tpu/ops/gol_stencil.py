@@ -93,24 +93,48 @@ def multi_step(grid, k: int, backend: str = "mxu"):
 # ---------------------------------------------------------------------------
 
 
+_UNROLL = 16
+
+
 def _gol_pallas_kernel(steps_ref, grid_ref, a_ref, out_ref):
     steps = steps_ref[0]
     a = a_ref[:]
 
-    def body(_, g):
+    def gen(g):
+        # (bf16 matmuls measured SLOWER here — the 256-wide grid underfills
+        # the MXU and the casts dominate; stay f32.)
         box = jnp.dot(jnp.dot(a, g, preferred_element_type=jnp.float32), a.T,
                       preferred_element_type=jnp.float32)
         nb = box - g
         alive = (nb == 3.0) | ((g == 1.0) & (nb == 2.0))
         return alive.astype(jnp.float32)
 
-    out_ref[:] = lax.fori_loop(0, steps, body, grid_ref[:].astype(jnp.float32))
+    def body(_, g):
+        return gen(g)
+
+    def body_u(_, g):
+        # Unrolled: at a 256x256 grid the matmul pair is ~0.3 us but the
+        # dynamic loop costs several us per trip — amortize it.
+        for _ in range(_UNROLL):
+            g = gen(g)
+        return g
+
+    g = grid_ref[:].astype(jnp.float32)
+    g = lax.fori_loop(0, steps // _UNROLL, body_u, g)
+    out_ref[:] = lax.fori_loop(0, steps % _UNROLL, body, g)
 
 
 @jax.jit
 def multi_step_pallas(grid, k):
-    """k generations in one Pallas dispatch; k is a traced scalar (no recompile)."""
+    """k generations in one Pallas dispatch; k is a traced scalar (no recompile).
+
+    VMEM must hold the grid, circulant, and matmul temporaries — fine up to
+    512x512; larger grids should use multi_step (XLA pipelines HBM itself).
+    """
     n = grid.shape[0]
+    if n > 512:
+        raise ValueError(f"{n}x{n} grid exceeds the VMEM-resident kernel; "
+                         "use multi_step")
     a = _circulant_111(n, "float32")
     out = pl.pallas_call(
         _gol_pallas_kernel,

@@ -12,12 +12,12 @@ utilization, and bf16 MXU passes destroy close-pair displacements):
   * per-pair force rm*dx is formed before any reduction — the self-pair is
     exactly zero (dx == 0, matching the reference's i != j skip
     algebraically), and no 1/EPS-scale terms ever pollute an accumulator;
-  * partial forces accumulate into a VMEM scratch across source chunks
-    (one fused multiply-add per pair); one cross-sublane reduction per
-    target tile at the end.
+  * each source chunk reduces immediately into the revisited [1, T] output
+    block (no [S, T] accumulator), keeping VMEM free for large tiles — the
+    grid-step count, not the VPU, was the bottleneck at small tiles.
 
 Grid = (target_tiles, source_chunks), output blocks revisited along the
-source axis; ~9 VPU ops per particle pair.
+source axis; ~10 VPU ops per particle pair.
 """
 
 from __future__ import annotations
@@ -31,18 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nbody_forces import EPS
 
-T_TILE = 256  # targets per grid step (lanes; multiple of 128)
+T_TILE = 512  # targets per grid step (lanes; multiple of 128)
 
 
 def _kernel(xs_ref, ys_ref, ms_ref, xt_ref, yt_ref, fx_ref, fy_ref,
-            accx, accy, *, approx_recip):
+            *, approx_recip):
     j = pl.program_id(1)
-    nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        accx[:] = jnp.zeros_like(accx)
-        accy[:] = jnp.zeros_like(accy)
+        fx_ref[:] = jnp.zeros_like(fx_ref)
+        fy_ref[:] = jnp.zeros_like(fy_ref)
 
     xs = xs_ref[:]          # [S, 1] source columns
     ys = ys_ref[:]
@@ -54,13 +53,11 @@ def _kernel(xs_ref, ys_ref, ms_ref, xt_ref, yt_ref, fx_ref, fy_ref,
     dy = ys - yt
     d2 = dx * dx + dy * dy + EPS
     rm = pl.reciprocal(d2, approx=approx_recip) * ms
-    accx[:] += rm * dx
-    accy[:] += rm * dy
-
-    @pl.when(j == nj - 1)
-    def _finish():
-        fx_ref[:] = jnp.sum(accx[:], axis=0, keepdims=True)
-        fy_ref[:] = jnp.sum(accy[:], axis=0, keepdims=True)
+    # Reduce over the source chunk immediately (one extra add per pair)
+    # instead of holding an [S, T] accumulator: frees VMEM for bigger tiles
+    # and keeps the output block as the only revisited state.
+    fx_ref[:] += jnp.sum(rm * dx, axis=0, keepdims=True)
+    fy_ref[:] += jnp.sum(rm * dy, axis=0, keepdims=True)
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -100,10 +97,6 @@ def forces_pallas(px, py, m, src_chunk: int = 1024, approx_recip: bool = False):
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((src_chunk, T_TILE), jnp.float32),
-            pltpu.VMEM((src_chunk, T_TILE), jnp.float32),
-        ],
     )(xs, ys, ms, xt, yt)
 
     return fx.reshape(n) * m, fy.reshape(n) * m

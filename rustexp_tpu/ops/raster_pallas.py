@@ -390,12 +390,13 @@ def _attr_tile_kernel(counts_ref, si_ref, sf_ref, *out_refs,
 
 @functools.partial(jax.jit, static_argnames=("n2", "n3", "h", "w", "cap",
                                              "tile_h", "tile_w", "chunk",
-                                             "group", "interpret"))
+                                             "group", "spans", "interpret"))
 def raster_attrs_pallas(
     setup: TriSetup, extra_f: jnp.ndarray, n2: int, n3: int,
     h: int, w: int, cap: int | None = None,
     tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 512,
-    group: int = GROUP, interpret: bool | None = None,
+    group: int = GROUP, spans: tuple | None = None,
+    interpret: bool | None = None,
 ):
     """Rasterize + interpolate attributes in one kernel.
 
@@ -419,7 +420,11 @@ def raster_attrs_pallas(
     nty, ntx = h // tile_h, w // tile_w
     n_k = cap // chunk
 
-    bins = bin_triangles(setup, h, w, cap, tile_h, tile_w, extra_f=extra_f)
+    if spans is not None:
+        bins = bin_pairs(setup, h, w, cap, spans[0], spans[1],
+                         tile_h, tile_w, extra_f=extra_f)
+    else:
+        bins = bin_triangles(setup, h, w, cap, tile_h, tile_w, extra_f=extra_f)
     f_ch = 7 + 3 * (n2 + n3)
 
     n_planes = n2 + n3
@@ -473,3 +478,107 @@ def max_bin_count(setup: TriSetup, h: int, w: int,
     cov_y = (ty[None, :] >= ty_lo[:, None]) & (ty[None, :] <= ty_hi[:, None])
     cov = cov_y[:, :, None] & cov_x[:, None, :] & setup.valid[:, None, None]
     return cov.reshape(-1, nty * ntx).sum(axis=0).max()
+
+
+# ---------------------------------------------------------------------------
+# Pairs-sort binning: replaces the [T, nT] column argsort with one flat sort
+# ---------------------------------------------------------------------------
+#
+# Each front-facing triangle's pixel AABB covers a small rectangle of tiles
+# (span_x x span_y, almost always <= 2x2 at 32x128 tiles). Enumerate up to
+# m_x*m_y (tile, triangle) pairs per triangle, sort the flat pair keys
+# tile*T + t once (order within a tile stays submission order — the depth
+# tie rule depends on it), then slice each tile's contiguous segment via
+# searchsorted. ~15x fewer sorted elements than the dense coverage argsort.
+#
+# Correctness: a triangle spanning more than m_x*m_y tiles cannot be fully
+# binned — bin_pairs reports `overflow` and callers must use bin_triangles
+# (always correct) or a larger m. suggest_spans() bounds the spans for a
+# scene with one cheap device round-trip.
+
+
+def bin_pairs(
+    setup: TriSetup, h: int, w: int, cap: int, m_x: int, m_y: int,
+    tile_h: int = TILE_H, tile_w: int = TILE_W,
+    extra_f: jnp.ndarray | None = None,
+) -> BinnedTris:
+    nty, ntx = pl.cdiv(h, tile_h), pl.cdiv(w, tile_w)
+    n_tiles = nty * ntx
+    T = setup.A.shape[0]
+
+    tx_lo = setup.min_x // tile_w
+    tx_hi = (setup.max_x - 1) // tile_w
+    ty_lo = setup.min_y // tile_h
+    ty_hi = (setup.max_y - 1) // tile_h
+    span_x = tx_hi - tx_lo + 1
+    span_y = ty_hi - ty_lo + 1
+
+    dx = jnp.arange(m_x, dtype=jnp.int32)
+    dy = jnp.arange(m_y, dtype=jnp.int32)
+    # [T, m_y, m_x] candidate tiles
+    t_ty = ty_lo[:, None, None] + dy[None, :, None]
+    t_tx = tx_lo[:, None, None] + dx[None, None, :]
+    ok = (
+        setup.valid[:, None, None]
+        & (dy[None, :, None] < span_y[:, None, None])
+        & (dx[None, None, :] < span_x[:, None, None])
+    )
+    tile_id = t_ty * ntx + t_tx
+    tri_id = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None, None], tile_id.shape
+    )
+    big = jnp.int32(n_tiles * T)
+    key = jnp.where(ok, tile_id * T + tri_id, big).reshape(-1)
+    skey = jnp.sort(key)
+
+    # Segment boundaries per tile
+    bounds = jnp.searchsorted(
+        skey, jnp.arange(n_tiles + 1, dtype=jnp.int32) * T
+    ).astype(jnp.int32)
+    full_counts = bounds[1:] - bounds[:-1]
+    counts = jnp.minimum(full_counts, cap)
+    overflow = (
+        jnp.any(full_counts > cap)
+        | jnp.any(setup.valid & ((span_x > m_x) | (span_y > m_y)))
+    )
+
+    # Gather each tile's slots from its sorted segment
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.minimum(bounds[:-1, None] + slots[None, :], skey.shape[0] - 1)
+    slot_ok = slots[None, :] < counts[:, None]
+    ids = jnp.where(slot_ok, skey[pos.reshape(-1)].reshape(n_tiles, cap) % T, 0)
+
+    packed_i = jnp.concatenate(
+        [setup.A, setup.B, setup.C,
+         setup.min_x[:, None], setup.min_y[:, None],
+         setup.max_x[:, None], setup.max_y[:, None],
+         jnp.arange(T, dtype=jnp.int32)[:, None]],
+        axis=1,
+    )
+    f_parts = [setup.bias, setup.z0[:, None], setup.z10[:, None],
+               setup.z20[:, None], setup.inv_a2[:, None]]
+    if extra_f is not None:
+        f_parts.append(extra_f)
+    packed_f = jnp.concatenate(f_parts, axis=1)
+
+    flat_ids = ids.reshape(-1)
+    setup_i = packed_i[flat_ids].reshape(n_tiles, cap, _I_CH)
+    setup_f = packed_f[flat_ids].reshape(n_tiles, cap, -1)
+    empty = ~slot_ok[..., None]
+    setup_i = jnp.where(
+        jnp.broadcast_to(empty, setup_i.shape)
+        & (jnp.arange(_I_CH)[None, None, :] >= 11)
+        & (jnp.arange(_I_CH)[None, None, :] <= 12),
+        0, setup_i,
+    )
+    return BinnedTris(setup_i, setup_f, ids, counts, overflow)
+
+
+def max_spans(setup: TriSetup, h: int, w: int,
+              tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """(max span_x, max span_y) over front-facing triangles, for bin_pairs."""
+    span_x = (setup.max_x - 1) // tile_w - setup.min_x // tile_w + 1
+    span_y = (setup.max_y - 1) // tile_h - setup.min_y // tile_h + 1
+    one = jnp.int32(1)
+    return (jnp.max(jnp.where(setup.valid, span_x, one)),
+            jnp.max(jnp.where(setup.valid, span_y, one)))

@@ -204,6 +204,7 @@ def shade_gbuffer(
 def raster_and_shade_pallas(
     scene: Scene, setup, vp, world, n_world, colors, eye, tick,
     *, w: int, h: int, per_pixel: bool, shader_idx: int, bg_fb, cap=None,
+    spans=None,
 ):
     """Zero-gather Fill path: attributes interpolate inside the tile kernel.
 
@@ -237,7 +238,8 @@ def raster_and_shade_pallas(
         extra = jnp.concatenate([f2, f3], axis=1)
         n3 = 6
 
-    z, mask, lin = raster_attrs_pallas(setup, extra, n2, n3, h, w, cap=cap)
+    z, mask, lin = raster_attrs_pallas(setup, extra, n2, n3, h, w, cap=cap,
+                                       spans=spans)
     wr = 1.0 / lin[0]
     c = (lin[1:4] * wr).transpose(1, 2, 0)
     if per_pixel:
@@ -342,6 +344,30 @@ def _max_bin_count_jit(scene: Scene, eye, w: int, h: int):
     return max_bin_count(setup, h, w)
 
 
+@partial(jax.jit, static_argnames=("w", "h"))
+def _bin_stats_jit(scene: Scene, eye, w: int, h: int):
+    from ..ops.raster_pallas import max_bin_count, max_spans
+
+    vp, _, _ = transform_vertices(scene, eye, w, h)
+    setup = setup_triangles(vp, scene.tris, w, h)
+    sx, sy = max_spans(setup, h, w)
+    return max_bin_count(setup, h, w), sx, sy
+
+
+def suggest_binning(scene: Scene, eye, w: int, h: int, margin: float = 1.3):
+    """(cap, (m_x, m_y)) for the pairs-sort binner, from one device trip.
+
+    The span margin (+1 tile each way) absorbs camera motion; bin_pairs
+    still reports `overflow` if a frame ever exceeds it.
+    """
+    mc, sx, sy = jax.device_get(
+        _bin_stats_jit(scene, jnp.asarray(eye, jnp.float32), w, h)
+    )
+    need = max(512, int(int(mc) * margin))
+    cap = (need + 511) // 512 * 512
+    return cap, (int(sx) + 1, int(sy) + 1)
+
+
 def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
     """Pick a power-of-two bin capacity for this scene/viewpoint.
 
@@ -359,7 +385,7 @@ def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
     jax.jit,
     static_argnames=(
         "w", "h", "mode", "per_pixel", "shader_idx", "bg_idx", "show_cm",
-        "backend", "raster_cap",
+        "backend", "raster_cap", "raster_spans",
     ),
 )
 def render_frame(
@@ -376,6 +402,7 @@ def render_frame(
     show_cm: bool | None = None,
     backend: str = "auto",
     raster_cap: int | None = None,
+    raster_spans: tuple | None = None,
 ):
     """Render one frame -> uint32 ABGR [h, w], bottom-left origin.
 
@@ -411,7 +438,7 @@ def render_frame(
             fb = raster_and_shade_pallas(
                 scene, setup, vp, world, n_world, colors, eye, tick,
                 w=w, h=h, per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,
-                cap=raster_cap,
+                cap=raster_cap, spans=raster_spans,
             )
         else:
             gb = raster_gbuffer_xla(setup, h, w)

@@ -45,21 +45,22 @@ class RasterizerExperiment:
                 mesh.get_mesh(state.mesh_idx), cubemap.get_cm_set(state.env_idx)
             )
             eye0 = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), 0.0)
-            cap = pp.suggest_cap(scene, eye0, w, h)
-            state._scene_cache = (key, scene, cap)
+            binning = pp.suggest_binning(scene, eye0, w, h)
+            state._scene_cache = (key, scene, binning)
         return state._scene_cache[1], state._scene_cache[2]
 
     def step(self, state: RasterState) -> RasterState:
         return state  # all per-frame work happens in render (like the reference)
 
     def render(self, state: RasterState, w: int, h: int, tick: float = 0.0):
-        scene, cap = self._scene(state, w, h)
+        scene, (cap, spans) = self._scene(state, w, h)
         eye = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), tick)
         t0 = time.perf_counter()
         fb = pp.render_frame(
             scene, eye, tick, w=w, h=h, mode=state.mode,
             per_pixel=state.per_pixel, shader_idx=state.shader_idx,
             bg_idx=state.bg_idx, backend=state.backend, raster_cap=cap,
+            raster_spans=spans,
         )
         jax.block_until_ready(fb)
         state.frame_times.push(time.perf_counter() - t0)

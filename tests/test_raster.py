@@ -104,6 +104,33 @@ class TestGBuffer:
         assert np.array_equal(np.asarray(gx.z), np.asarray(gp.z))
         assert np.array_equal(np.asarray(gx.b), np.asarray(gp.b))
 
+    def test_pairs_binning_matches_dense(self):
+        # bin_pairs (flat pair sort) must produce the same bins as the
+        # dense coverage-matrix binner for spans within its budget.
+        from rustexp_tpu.ops.raster_pallas import bin_pairs
+
+        m = mesh.make_sphere(10, 20)
+        scene = pp.make_scene(m, cubemap.make_procedural_set())
+        vp, _, _ = pp.transform_vertices(scene, jnp.asarray(camera.cam_orbit(0.3)), W, H)
+        s = setup_triangles(vp, scene.tris, W, H)
+        dense = bin_triangles(s, H, W, cap=256)
+        pairs = bin_pairs(s, H, W, cap=256, m_x=4, m_y=6)
+        assert not bool(pairs.overflow)
+        np.testing.assert_array_equal(np.asarray(dense.counts),
+                                      np.asarray(pairs.counts))
+        cnt = np.asarray(dense.counts)
+        di, pi = np.asarray(dense.ids), np.asarray(pairs.ids)
+        for t in range(cnt.shape[0]):
+            np.testing.assert_array_equal(di[t, :cnt[t]], pi[t, :cnt[t]])
+
+    def test_pairs_binning_overflow_flag(self):
+        from rustexp_tpu.ops.raster_pallas import bin_pairs
+
+        vp, tris = one_tri()  # spans 4 tile rows
+        s = setup_triangles(vp, tris, W, H)
+        assert bool(bin_pairs(s, H, W, cap=8, m_x=1, m_y=1).overflow)
+        assert not bool(bin_pairs(s, H, W, cap=8, m_x=1, m_y=4).overflow)
+
     def test_binning_counts(self):
         vp, tris = one_tri()
         s = setup_triangles(vp, tris, W, H)
