@@ -1,0 +1,153 @@
+"""Interactive terminal viewer — the engine's "window".
+
+Replaces the reference's GLFW/OpenGL shell (hs-src/Main.hs:48-76,
+App.hs:155-215) with an ANSI truecolor terminal renderer: each character
+cell shows two framebuffer pixels via the upper-half-block glyph, the
+status bar mirrors the reference's overlay (App.hs:106-129), and the
+reference's keybindings work unchanged:
+
+  global:  - / =  switch experiment (App.hs:65-66)   ESC quit
+           t      screenshot PNG    (App.hs:60-62)
+  GoL:     r randomize, g gun, a acorn, f spacefill, k ark
+  N-body:  q orbits-10k, w disk-10k, e orbits-5, x/X dt, a/A theta
+  Raster:  m mode, p per-pixel, q/w mesh, a/s shader, z/x envmap, 1/2 bg,
+           b benchmark
+
+Run:  python -m rustexp_tpu.app.viewer [--size 192] [--fps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+
+def fb_to_ansi(rgb: np.ndarray) -> str:
+    """uint8 RGB [h, w, 3] (top-left origin, even h) -> ANSI half-block rows."""
+    h, w, _ = rgb.shape
+    top = rgb[0 : h - 1 : 2].astype(np.uint32)
+    bot = rgb[1:h:2].astype(np.uint32)
+    rows = []
+    for y in range(top.shape[0]):
+        t, b = top[y], bot[y]
+        cells = [
+            f"\x1b[38;2;{t[x,0]};{t[x,1]};{t[x,2]}m"
+            f"\x1b[48;2;{b[x,0]};{b[x,1]};{b[x,2]}m▀"
+            for x in range(w)
+        ]
+        rows.append("".join(cells) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+def _experiments():
+    from ..sims.gol import GoLExperiment
+    from ..sims.nbody import NBodyExperiment
+    from ..sims.rasterizer import RasterizerExperiment
+
+    return [GoLExperiment(), NBodyExperiment(), RasterizerExperiment()]
+
+
+class _RawTerm:
+    """Raw, non-blocking stdin for key polling; restores settings on exit."""
+
+    def __enter__(self):
+        import termios
+        import tty
+
+        self.fd = sys.stdin.fileno()
+        self.saved = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
+
+    def poll_key(self):
+        r, _, _ = select.select([sys.stdin], [], [], 0)
+        if r:
+            return sys.stdin.read(1)
+        return None
+
+
+def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
+               start: int = 2):
+    """Main loop (App.hs:196-214): tick, events, draw, present."""
+    from ..core.framebuffer import to_rgb8_topleft, write_png
+
+    exps = _experiments()
+    cur = start  # the reference starts on the rasterizer (App.hs:163)
+    states = [None] * len(exps)
+    t0 = time.perf_counter()
+    frame = 0
+    shot = 0
+
+    sys.stdout.write("\x1b[2J")  # clear once
+    with _RawTerm() as term:
+        while frames is None or frame < frames:
+            tick = time.perf_counter() - t0
+
+            key = term.poll_key()
+            if key == "\x1b":  # ESC exits ('q' belongs to the experiments)
+                break
+            elif key == "=":
+                cur = (cur + 1) % len(exps)
+            elif key == "-":
+                cur = (cur - 1) % len(exps)
+            elif key:
+                if states[cur] is None:
+                    states[cur] = exps[cur].init()
+                upper = key.upper() if key.isalpha() else key
+                if key == "t":
+                    pass  # screenshot handled below after render
+                else:
+                    states[cur] = exps[cur].handle_key(states[cur], upper)
+
+            exp = exps[cur]
+            if states[cur] is None:
+                states[cur] = exp.init()
+            states[cur] = exp.step(states[cur])
+            try:
+                fb = exp.render(states[cur], size, size, tick)
+            except TypeError:
+                fb = exp.render(states[cur], size, size)
+            rgb = to_rgb8_topleft(fb)
+            if key == "t":
+                path = f"rustexp_shot_{shot:03d}.png"
+                write_png(path, rgb)
+                shot += 1
+
+            status = f"[{exp.name}] {exp.status(states[cur])}"[: size - 1]
+            sys.stdout.write("\x1b[H" + fb_to_ansi(rgb) + "\n\x1b[K" + status)
+            sys.stdout.flush()
+
+            frame += 1
+            budget = frame / fps - (time.perf_counter() - t0)
+            if budget > 0:
+                time.sleep(budget)
+    sys.stdout.write("\x1b[0m\n")
+    return frame
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--size", type=int, default=192,
+                   help="square framebuffer edge (terminal needs size x size/2 cells)")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--frames", type=int, default=None,
+                   help="stop after N frames (default: run until q/ESC)")
+    p.add_argument("--start", type=int, default=2,
+                   help="starting experiment index (0 GoL, 1 NBody, 2 Raster)")
+    args = p.parse_args(argv)
+    run_viewer(args.size, args.fps, args.frames, args.start)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

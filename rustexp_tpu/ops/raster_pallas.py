@@ -402,8 +402,9 @@ def raster_attrs_pallas(
 
     extra_f: f32 [T, 3*(n2+n3)] channel triples laid out as
     [n2 x q0][n2 x q10][n2 x q20][n3 x qb1][n3 x qb2][n3 x qb0].
-    Returns (z [h,w], mask bool [h,w], lin f32 [n2+n3, h, w]) where `lin`
-    still needs the perspective divide by the interpolated-1/w channel.
+    Returns (z [h,w], mask bool [h,w], lin: tuple of n2+n3 f32 [h,w] planes)
+    where `lin` still needs the perspective divide by the interpolated-1/w
+    channel (the first plane).
     """
     if h % tile_h or w % tile_w:
         raise ValueError(f"frame {h}x{w} not divisible by tile {tile_h}x{tile_w}")
@@ -460,8 +461,7 @@ def raster_attrs_pallas(
         interpret=interpret,
     )(bins.counts, bins.setup_i, bins.setup_f)
     z, slot = outs[0], outs[1]
-    lin = jnp.stack(outs[2:], axis=0)
-    return z, slot >= 0, lin
+    return z, slot >= 0, tuple(outs[2:])
 
 
 def max_bin_count(setup: TriSetup, h: int, w: int,

@@ -241,10 +241,14 @@ def raster_and_shade_pallas(
     z, mask, lin = raster_attrs_pallas(setup, extra, n2, n3, h, w, cap=cap,
                                        spans=spans)
     wr = 1.0 / lin[0]
-    c = (lin[1:4] * wr).transpose(1, 2, 0)
+
+    def ch_last(ps):
+        return jnp.stack([q * wr for q in ps], axis=-1)
+
+    c = ch_last(lin[1:4])
     if per_pixel:
-        p = (lin[4:7] * wr).transpose(1, 2, 0)
-        n = (lin[7:10] * wr).transpose(1, 2, 0)
+        p = ch_last(lin[4:7])
+        n = ch_last(lin[7:10])
         out = sh.shader_fn(shader_idx)(p, n, c, eye, tick, scene.cm)
     else:
         out = c

@@ -94,6 +94,18 @@ def lookup_dir_cm(cm, power: int, d):
     return lookup_texel_cm(cm, power, cm_texel_from_dir(d))
 
 
+def lookup_texel_powers(cm, powers: tuple, texel):
+    """Fetch several convolution powers at one texel with a SINGLE gather.
+
+    Gather cost on TPU is per index, not per byte — packing the power
+    tables channel-wise turns k lookups into one."""
+    face, ty, tx = texel
+    flat = ((face * CM_FACE_WDH + ty) * CM_FACE_WDH + tx).reshape(-1)
+    tab = jnp.concatenate([cm[p].reshape(-1, 3) for p in powers], axis=1)
+    vals = tab[flat].reshape(face.shape + (len(powers), 3))
+    return tuple(vals[..., i, :] for i in range(len(powers)))
+
+
 def fresnel_conductor(cosi, eta: float, k: float):
     """PBRT 1st-edition conductor Fresnel (rasterizer.rs:1033-1056)."""
     tmp = (eta * eta + k * k) * cosi * cosi
@@ -152,10 +164,11 @@ def shader_cm_diffuse(p, n, col, eye, tick, cm):
 def shader_cm_refl(p, n, col, eye, tick, cm):
     nn = fast_normalize(n)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    c8, c64 = lookup_texel_powers(cm, (COS_8, COS_64), r_tex)
     return (
         lookup_dir_cm(cm, COS_1, nn)
-        + lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0)
-        + lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0)
+        + c8 * normalize_phong_lobe(8.0)
+        + c64 * normalize_phong_lobe(64.0)
     ) * (col * col)
 
 
@@ -164,10 +177,11 @@ def shader_cm_coated(p, n, col, eye, tick, cm):
     eyev = p - eye
     r_tex = cm_texel_from_dir(reflect(eyev, nn))
     fres = fresnel_conductor(_dot(-eyev, nn), 1.0, 1.1)
+    c8, c512 = lookup_texel_powers(cm, (COS_8, COS_512), r_tex)
     return (
         lookup_dir_cm(cm, COS_1, nn) * 0.85
-        + lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0) * fres
-        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0) * fres * 1.5
+        + c8 * normalize_phong_lobe(8.0) * fres
+        + c512 * normalize_phong_lobe(512.0) * fres * 1.5
     ) * (col * col)
 
 
@@ -210,20 +224,17 @@ def shader_cm_red_material(p, n, col, eye, tick, cm):
 def shader_cm_metallic(p, n, col, eye, tick, cm):
     nn = fast_normalize(n)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
-    return (
-        lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0)
-        + lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0)
-    ) * col
+    c8, c64 = lookup_texel_powers(cm, (COS_8, COS_64), r_tex)
+    return (c8 * normalize_phong_lobe(8.0)
+            + c64 * normalize_phong_lobe(64.0)) * col
 
 
 def shader_cm_super_shiny(p, n, col, eye, tick, cm):
     nn = fast_normalize(n)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
-    return (
-        lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0)
-        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0)
-        + lookup_texel_cm(cm, COS_0, r_tex)
-    ) * col
+    c64, c512, c0 = lookup_texel_powers(cm, (COS_64, COS_512, COS_0), r_tex)
+    return (c64 * normalize_phong_lobe(64.0)
+            + c512 * normalize_phong_lobe(512.0) + c0) * col
 
 
 def shader_cm_gold(p, n, col, eye, tick, cm):
@@ -232,10 +243,11 @@ def shader_cm_gold(p, n, col, eye, tick, cm):
     ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
     albedo = jnp.array([1.0, 0.76, 0.33])
+    c8, c512 = lookup_texel_powers(cm, (COS_8, COS_512), r_tex)
     return (
         lookup_dir_cm(cm, COS_1, nn) * ldotn
-        + lookup_texel_cm(cm, COS_8, r_tex) * normalize_phong_lobe(8.0)
-        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0) * (1.0 - ldotn)
+        + c8 * normalize_phong_lobe(8.0)
+        + c512 * normalize_phong_lobe(512.0) * (1.0 - ldotn)
     ) * albedo * (col * col)
 
 
@@ -244,10 +256,11 @@ def shader_cm_blue(p, n, col, eye, tick, cm):
     l = fast_normalize(eye - p)
     ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
+    c64, c512 = lookup_texel_powers(cm, (COS_64, COS_512), r_tex)
     return (
         lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.2, 0.2, 0.8]) * ldotn
-        + lookup_texel_cm(cm, COS_64, r_tex) * normalize_phong_lobe(64.0) * 0.75
-        + lookup_texel_cm(cm, COS_512, r_tex) * normalize_phong_lobe(512.0) * (1.0 - ldotn)
+        + c64 * normalize_phong_lobe(64.0) * 0.75
+        + c512 * normalize_phong_lobe(512.0) * (1.0 - ldotn)
     ) * (col * col)
 
 

@@ -80,3 +80,31 @@ def test_fast_unit_pow16_against_exact():
 def test_rgb8_to_abgr32():
     # golden body color from the reference N-body renderer (nbody.rs:520)
     assert colors.rgb8_to_abgr32(255, 215, 130, 0.3) == 76 | (64 << 8) | (39 << 16)
+
+
+def test_gamma_arith_matches_lut():
+    """The arithmetic gamma pack recomputes the LUT's generator formula;
+    any deviation is float-pow rounding at the odd half-step and must stay
+    within 1 output LSB on a handful of entries."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rustexp_tpu.core.colors import (
+        GAMMA_11BIT_LUT, pack_abgr32_gamma, pack_abgr32_gamma_arith,
+    )
+
+    v = jnp.asarray((np.arange(2048, dtype=np.float32) + 0.5) / 2047.0)
+    a = np.asarray(pack_abgr32_gamma_arith(v, v, v)) & 0xFF
+    b = np.asarray(pack_abgr32_gamma(v, v, v)) & 0xFF
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).sum() <= 20
+
+
+def test_pow16_arith_matches_lut():
+    import numpy as np
+    import jax.numpy as jnp
+    from rustexp_tpu.core.colors import POW16_TABLE, fast_unit_pow16_arith
+
+    v = jnp.asarray((np.arange(256, dtype=np.float32) + 600.5) / 855.0)
+    got = np.asarray(fast_unit_pow16_arith(v))
+    np.testing.assert_allclose(got, POW16_TABLE, rtol=2e-5)

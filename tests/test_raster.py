@@ -277,3 +277,47 @@ def test_benchmark_table_matches_reference():
 
     assert sum(s[3] for s in SCENES) == REF_TOTAL_US == 27286
     assert len(SCENES) == 12
+
+
+def test_suggest_binning_cpu():
+    scene = pp.make_scene(mesh.make_sphere(10, 20), cubemap.make_procedural_set())
+    cap, (mx, my) = pp.suggest_binning(scene, camera.cam_orbit(0.3), W, H)
+    assert cap % 512 == 0 and cap >= 512
+    assert 1 <= mx <= 8 and 1 <= my <= 8
+
+
+def test_viewer_headless():
+    import sys
+
+    import rustexp_tpu.app.viewer as v
+
+    class FakeTerm:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def poll_key(self):
+            return None
+
+    orig_term, orig_write = v._RawTerm, sys.stdout.write
+    v._RawTerm = FakeTerm
+    sys.stdout.write = lambda s: len(s)
+    try:
+        n = v.run_viewer(size=64, fps=1000.0, frames=2, start=0)
+    finally:
+        v._RawTerm, sys.stdout.write = orig_term, orig_write
+    assert n == 2
+
+
+def test_fb_to_ansi():
+    import numpy as np
+
+    from rustexp_tpu.app.viewer import fb_to_ansi
+
+    rgb = np.zeros((4, 3, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    out = fb_to_ansi(rgb)
+    assert out.count("▀") == 6  # 3 cols x 2 cell-rows
+    assert "38;2;255;0;0" in out
