@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--keys", default="", help="key events applied before the run "
                    "(reference keybindings, e.g. 'WWP' = next-next-mesh, per-pixel)")
     p.add_argument("--out", default="", help="PNG path prefix (writes <out>_NNN.png)")
+    p.add_argument("--overlay", action="store_true",
+                   help="burn the status line into each frame "
+                        "(the reference's on-screen overlay, App.hs:106-129)")
     p.add_argument("--ticks-per-frame", type=float, default=1.0 / 60.0)
     p.add_argument("--runs", type=int, default=20, help="bench: timing runs per scene")
     args = p.parse_args(argv)
@@ -76,6 +79,10 @@ def main(argv=None):
             fb = exp.render(state, w, h, tick)
         except TypeError:  # experiments whose render takes no tick
             fb = exp.render(state, w, h)
+        if args.overlay:
+            from ..core.font import draw_text
+
+            fb = draw_text(fb, exp.status(state))
         if args.out:
             from ..core.framebuffer import to_rgb8_topleft, write_png
 

@@ -100,14 +100,11 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
                 cur = (cur + 1) % len(exps)
             elif key == "-":
                 cur = (cur - 1) % len(exps)
-            elif key:
+            elif key and key != "t":  # 't' screenshots below, after render
                 if states[cur] is None:
                     states[cur] = exps[cur].init()
-                upper = key.upper() if key.isalpha() else key
-                if key == "t":
-                    pass  # screenshot handled below after render
-                else:
-                    states[cur] = exps[cur].handle_key(states[cur], upper)
+                # Raw key: N-body's x/X and a/A bindings are case-sensitive
+                states[cur] = exps[cur].handle_key(states[cur], key)
 
             exp = exps[cur]
             if states[cur] is None:

@@ -80,6 +80,7 @@ class RasterizerExperiment:
 
     def handle_key(self, state: RasterState, key: str) -> RasterState:
         """Wrapping scene-selection keys (RustRasterizerExperiment.hs:127-143)."""
+        key = key.upper() if len(key) == 1 else key
         if key == "M":
             state.mode = (state.mode + 1) % len(pp.MODE_NAMES)
         elif key == "P":

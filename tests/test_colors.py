@@ -108,3 +108,22 @@ def test_pow16_arith_matches_lut():
     v = jnp.asarray((np.arange(256, dtype=np.float32) + 600.5) / 855.0)
     got = np.asarray(fast_unit_pow16_arith(v))
     np.testing.assert_allclose(got, POW16_TABLE, rtol=2e-5)
+
+
+def test_font_overlay():
+    import numpy as np
+    import jax.numpy as jnp
+    from rustexp_tpu.core.font import GLYPH_H, GLYPH_W, draw_text, text_mask
+
+    m = text_mask("AB 1|?")
+    assert m.shape == (GLYPH_H, 6 * GLYPH_W)
+    assert m.sum() > 30
+    # unknown chars fall back to '?'
+    assert np.array_equal(text_mask("\x01"), text_mask("?"))
+
+    fb = jnp.zeros((32, 128), jnp.uint32)
+    out = np.asarray(draw_text(fb, "HI", color=0x00FFFFFF))
+    assert (out == 0x00FFFFFF).sum() == text_mask("HI").sum()
+    # text sits near the TOP of the (bottom-left-origin) framebuffer
+    ys = np.nonzero(out == 0x00FFFFFF)[0]
+    assert ys.min() > 16
