@@ -1,0 +1,98 @@
+"""Golden-output regression tests.
+
+The reference has no tests; its QA is eyeballing known scenes (SURVEY.md
+§4). These tests freeze that practice: fixed scenes render on CPU and must
+match stored framebuffers bit-for-bit. If an intentional change shifts the
+output, regenerate with:
+
+    UPDATE_GOLDENS=1 python -m pytest tests/test_golden.py
+
+and review the refreshed PNG-equivalent arrays in the diff.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+UPDATE = bool(os.environ.get("UPDATE_GOLDENS"))
+
+
+def _check(name: str, fb: np.ndarray):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if UPDATE or not os.path.exists(path):
+        np.savez_compressed(path, fb=fb)
+        if not UPDATE:
+            pytest.skip(f"golden {name} created; rerun to verify")
+    want = np.load(path)["fb"]
+    if not np.array_equal(fb, want):
+        diff = (fb != want).sum()
+        raise AssertionError(
+            f"golden {name}: {diff} of {fb.size} pixels differ. If the "
+            f"change is intentional, rerun with UPDATE_GOLDENS=1."
+        )
+
+
+@pytest.fixture(scope="module")
+def raster_scene():
+    from rustexp_tpu.assets import cubemap, mesh
+    from rustexp_tpu.raster import pipeline as pp
+
+    return pp.make_scene(mesh.make_sphere(12, 24), cubemap.make_procedural_set())
+
+
+def test_golden_raster_cmrefl_pixel(raster_scene):
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    fb = pp.render_frame(
+        raster_scene, jnp.asarray(camera.cam_orbit(0.5)), 0.5, w=128, h=128,
+        per_pixel=True, shader_idx=5, bg_idx=1, show_cm=True, backend="pallas",
+    )
+    _check("raster_sphere_cmrefl_p", np.asarray(fb))
+
+
+def test_golden_raster_plastic_vertex(raster_scene):
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    fb = pp.render_frame(
+        raster_scene, jnp.asarray(camera.cam_orbit_front(1.3)), 1.3, w=128,
+        h=128, per_pixel=False, shader_idx=3, bg_idx=0, show_cm=False,
+        backend="pallas",
+    )
+    _check("raster_sphere_plastic_v", np.asarray(fb))
+
+
+def test_golden_raster_wireframe(raster_scene):
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    fb = pp.render_frame(
+        raster_scene, jnp.asarray(camera.cam_pan_front(0.2)), 0.2, w=128,
+        h=128, mode=pp.MODE_LINE, shader_idx=0, bg_idx=4, show_cm=False,
+    )
+    _check("raster_sphere_wire", np.asarray(fb))
+
+
+def test_golden_gol_gun():
+    from rustexp_tpu.assets.gol_patterns import PATTERNS, pattern_to_array
+    from rustexp_tpu.ops import gol_stencil
+    from rustexp_tpu.sims.gol import gol_render, set_pattern
+
+    grid = set_pattern(pattern_to_array(PATTERNS["gun"]))
+    grid = gol_stencil.multi_step(grid, 64, "mxu")
+    fb = gol_render(grid, jnp.zeros(256), jnp.zeros(256))
+    _check("gol_gun_64", np.asarray(fb))
+
+
+def test_golden_nbody_orbits():
+    from rustexp_tpu.ops import nbody_forces
+    from rustexp_tpu.sims.nbody import nbody_render, stable_orbits
+
+    px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), 512)
+    for _ in range(4):
+        px, py, vx, vy = nbody_forces.step_brute_force(px, py, vx, vy, m)
+    fb = nbody_render(px, py, vx, vy, 256, 256)
+    _check("nbody_orbits_512_4", np.asarray(fb))
