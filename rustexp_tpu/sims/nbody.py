@@ -167,7 +167,11 @@ class NBodyExperiment:
         import time
 
         t0 = time.perf_counter()
-        if state.theta == 0.0:
+        block = next((b for b in (256, 200, 128, 125, 100, 64, 50, 25)
+                      if state.n % b == 0 and state.n // b > 9), None)
+        # Small scenes (and block-incompatible N) take the exact path —
+        # a 5-body orbit gains nothing from approximation
+        if state.theta == 0.0 or state.n < 2048 or block is None:
             if state.n % 1024 == 0:
                 from ..ops import nbody_pallas
 
@@ -180,13 +184,16 @@ class NBodyExperiment:
                     state.px, state.py, state.vx, state.vy, state.m, 0, state.dt
                 )
         else:
-            n = state.n
-            chunk = 1024 if n % 1024 == 0 else n
-            px, py, vx, vy, ov = nbody_treecode.step_treecode(
+            # Approximate path: Morton-block tree-code — density-adaptive,
+            # unlike the uniform grid (ops/nbody_treecode.py), so it handles
+            # the centrally-dense default orbit scene.
+            from ..ops import nbody_morton
+
+            px, py, vx, vy, m = nbody_morton.step_morton(
                 state.px, state.py, state.vx, state.vy, state.m,
-                64, 512, chunk, state.dt,
+                block, 4, state.dt,
             )
-            state.overflow = int(ov)
+            state.m = m  # morton step returns a permuted particle set
         px.block_until_ready()
         state.px, state.py, state.vx, state.vy = px, py, vx, vy
         state.steps += 1
