@@ -134,7 +134,7 @@ def bench_gol(generations_per_dispatch: int = 4096, runs: int = 3,
     grid = jnp.asarray(rng.integers(0, 2, (n, n)).astype(np.int32))
     k = generations_per_dispatch
 
-    if backend == "pallas" and n > 512:
+    if backend == "pallas" and n > 1024:
         backend = "mxu"
 
     @jax.jit
