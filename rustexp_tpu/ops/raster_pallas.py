@@ -42,9 +42,12 @@ TILE_W = 128
 # Triangles processed per kernel step (sublane-vectorized)
 GROUP = 8
 
-# Channel layout of the packed per-tile triangle data.
-# int channels: A0 A1 A2 B0 B1 B2 C0 C1 C2 min_x min_y max_x max_y tri_id
-_I_CH = 14
+# Channel layout of the packed per-tile triangle data. The third edge is
+# recovered inside the kernel from the exact integer identity
+# e0 + e1 + e2 = C0 + C1 + C2 =: S (the A and B gradients sum to zero),
+# so its gradients are never stored or multiplied.
+# int channels: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y tri_id
+_I_CH = 12
 # float channels: bias0 bias1 bias2 z0 z10 z20 inv_a2
 _F_CH = 7
 
@@ -100,12 +103,13 @@ def bin_triangles(
     # index, not per byte.
     T = setup.A.shape[0]
     packed_i = jnp.concatenate(
-        [setup.A, setup.B, setup.C,
+        [setup.A[:, :2], setup.B[:, :2], setup.C[:, :2],
+         jnp.sum(setup.C, axis=1, keepdims=True),
          setup.min_x[:, None], setup.min_y[:, None],
          setup.max_x[:, None], setup.max_y[:, None],
          jnp.arange(T, dtype=jnp.int32)[:, None]],
         axis=1,
-    )  # [T, 14]
+    )  # [T, 12]
     f_parts = [setup.bias, setup.z0[:, None], setup.z10[:, None],
                setup.z20[:, None], setup.inv_a2[:, None]]
     if extra_f is not None:
@@ -118,8 +122,8 @@ def bin_triangles(
     empty = ~slot_ok[..., None]
     setup_i = jnp.where(
         jnp.broadcast_to(empty, setup_i.shape)
-        & (jnp.arange(_I_CH)[None, None, :] >= 11)
-        & (jnp.arange(_I_CH)[None, None, :] <= 12),
+        & (jnp.arange(_I_CH)[None, None, :] >= 9)
+        & (jnp.arange(_I_CH)[None, None, :] <= 10),
         0, setup_i,
     )
     if k < cap:  # argsort returned fewer rows than capacity (T < cap)
@@ -175,12 +179,12 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
                                     (group, tile_h, 1))
 
         # Edge functions for all GROUP triangles over the whole tile
-        e0 = ci(0) * xf + ci(3) * yf + ci(6)
-        e1 = ci(1) * xf + ci(4) * yf + ci(7)
-        e2 = ci(2) * xf + ci(5) * yf + ci(8)
+        e0 = ci(0) * xf + ci(2) * yf + ci(4)
+        e1 = ci(1) * xf + ci(3) * yf + ci(5)
+        e2 = ci(6) - e0 - e1  # exact: gradients sum to zero
         inside = (e0 | e1 | e2) >= 0
-        in_box = ((xs >= ci(9)) & (ys >= ci(10))
-                  & (xs < ci(11)) & (ys < ci(12)))  # padding slots: max=0
+        in_box = ((xs >= ci(7)) & (ys >= ci(8))
+                  & (xs < ci(9)) & (ys < ci(10)))  # padding slots: max=0
         inv_a2 = cf(6)
         b0 = e0.astype(jnp.float32) * inv_a2 - cf(0)
         b1 = e1.astype(jnp.float32) * inv_a2 - cf(1)
@@ -352,12 +356,12 @@ def _attr_tile_kernel(counts_ref, si_ref, sf_ref, *out_refs,
             return jnp.broadcast_to(sf[:, ch].reshape(group, 1, 1),
                                     (group, tile_h, 1))
 
-        e0 = ci(0) * xf + ci(3) * yf + ci(6)
-        e1 = ci(1) * xf + ci(4) * yf + ci(7)
-        e2 = ci(2) * xf + ci(5) * yf + ci(8)
+        e0 = ci(0) * xf + ci(2) * yf + ci(4)
+        e1 = ci(1) * xf + ci(3) * yf + ci(5)
+        e2 = ci(6) - e0 - e1  # exact: gradients sum to zero
         inside = (e0 | e1 | e2) >= 0
-        in_box = ((xs >= ci(9)) & (ys >= ci(10))
-                  & (xs < ci(11)) & (ys < ci(12)))
+        in_box = ((xs >= ci(7)) & (ys >= ci(8))
+                  & (xs < ci(9)) & (ys < ci(10)))
         inv_a2 = cf(6)
         b0 = e0.astype(jnp.float32) * inv_a2 - cf(0)
         b1 = e1.astype(jnp.float32) * inv_a2 - cf(1)
@@ -549,7 +553,8 @@ def bin_pairs(
     ids = jnp.where(slot_ok, skey[pos.reshape(-1)].reshape(n_tiles, cap) % T, 0)
 
     packed_i = jnp.concatenate(
-        [setup.A, setup.B, setup.C,
+        [setup.A[:, :2], setup.B[:, :2], setup.C[:, :2],
+         jnp.sum(setup.C, axis=1, keepdims=True),
          setup.min_x[:, None], setup.min_y[:, None],
          setup.max_x[:, None], setup.max_y[:, None],
          jnp.arange(T, dtype=jnp.int32)[:, None]],
@@ -567,8 +572,8 @@ def bin_pairs(
     empty = ~slot_ok[..., None]
     setup_i = jnp.where(
         jnp.broadcast_to(empty, setup_i.shape)
-        & (jnp.arange(_I_CH)[None, None, :] >= 11)
-        & (jnp.arange(_I_CH)[None, None, :] <= 12),
+        & (jnp.arange(_I_CH)[None, None, :] >= 9)
+        & (jnp.arange(_I_CH)[None, None, :] <= 10),
         0, setup_i,
     )
     return BinnedTris(setup_i, setup_f, ids, counts, overflow)
