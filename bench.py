@@ -58,6 +58,29 @@ def main():
         print(f"# rasterizer bench unavailable ({type(e).__name__}: {e}), "
               f"falling back to sine fill", file=sys.stderr)
         result = bench_sine()
+
+    # Secondary headline metrics (BASELINE.json north stars), folded into
+    # the same JSON line so every round's numbers are driver-recorded.
+    from rustexp_tpu.app.benchmark import bench_gol, bench_nbody
+
+    try:
+        gol = bench_gol()
+        result["gol_cell_updates_per_s"] = gol["value"]
+        result["gol_gens_per_s"] = gol["gens_per_s"]
+    except Exception as e:
+        print(f"# gol bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        nb = bench_nbody(backend="morton")
+        result["nbody_morton_steps_per_s_131k"] = nb["value"]
+    except Exception as e:
+        print(f"# nbody morton bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        nb = bench_nbody(backend="pallas", steps_per_dispatch=8)
+        result["nbody_brute_steps_per_s_131k"] = nb["value"]
+    except Exception as e:
+        print(f"# nbody brute bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     print(json.dumps(result))
 
 

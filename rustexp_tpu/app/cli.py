@@ -71,14 +71,14 @@ def main(argv=None):
         state = exp.handle_key(state, k)
 
     w = h = args.size
+    import inspect
+
+    takes_tick = "tick" in inspect.signature(exp.render).parameters
     t_start = time.perf_counter()
     for i in range(args.frames):
         tick = i * args.ticks_per_frame
         state = exp.step(state)
-        try:
-            fb = exp.render(state, w, h, tick)
-        except TypeError:  # experiments whose render takes no tick
-            fb = exp.render(state, w, h)
+        fb = exp.render(state, w, h, tick) if takes_tick else exp.render(state, w, h)
         if args.overlay:
             from ..core.font import draw_text
 

@@ -110,9 +110,11 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             if states[cur] is None:
                 states[cur] = exp.init()
             states[cur] = exp.step(states[cur])
-            try:
+            import inspect
+
+            if "tick" in inspect.signature(exp.render).parameters:
                 fb = exp.render(states[cur], size, size, tick)
-            except TypeError:
+            else:
                 fb = exp.render(states[cur], size, size)
             rgb = to_rgb8_topleft(fb)
             if key == "t":

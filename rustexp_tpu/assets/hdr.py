@@ -96,6 +96,11 @@ def load_hdr(path: str) -> np.ndarray:
                 pos += 4
                 if px[0] == 1 and px[1] == 1 and px[2] == 1:
                     count = px[3] << shift
+                    # A repeat marker with nothing to repeat, or one that
+                    # overruns the row, is malformed (the C++ decoder
+                    # rejects both with -6; stb_image does the same).
+                    if x == 0 or x + count > w:
+                        raise ValueError("malformed old-style RLE in HDR scanline")
                     row[x : x + count] = row[x - 1]
                     x += count
                     shift += 8

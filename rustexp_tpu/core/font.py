@@ -115,7 +115,7 @@ def draw_text(fb_u32, text: str, x: int = 4, y: int = 4,
     mask = text_mask(text)
     th, tw = mask.shape
     tw = min(tw, w - x)
-    if tw <= 0 or th + y >= h:
+    if tw <= 0 or th + y > h:
         return fb_u32
     mask = mask[:, :tw]
     row0 = h - y - th  # flip to bottom-left rows

@@ -53,8 +53,8 @@ _F_CH = 7
 
 
 class BinnedTris(NamedTuple):
-    setup_i: jnp.ndarray   # i32 [nT, cap, 14] per-tile triangle data
-    setup_f: jnp.ndarray   # f32 [nT, cap, 7 + extra]
+    setup_i: jnp.ndarray   # i32 [nT, cap, _I_CH] per-tile triangle data
+    setup_f: jnp.ndarray   # f32 [nT, cap, _F_CH + extra]
     ids: jnp.ndarray       # i32 [nT, cap] original triangle index per slot
     counts: jnp.ndarray    # i32 [nT] triangles in each bin (clamped to cap)
     overflow: jnp.ndarray  # bool [] any bin exceeded capacity (those tris drop)
@@ -164,8 +164,8 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
 
     def chunk(c, _):
         base = pl.multiple_of(c * group, group)
-        si = si_ref[0, pl.ds(base, group), :]  # i32 [G, 14]
-        sf = sf_ref[0, pl.ds(base, group), :]  # f32 [G, 7]
+        si = si_ref[0, pl.ds(base, group), :]  # i32 [G, _I_CH]
+        sf = sf_ref[0, pl.ds(base, group), :]  # f32 [G, _F_CH]
 
         # Per-triangle constants pre-broadcast to [G, th, 1]: every later op
         # against [*, th, tw] values then only broadcasts along lanes (or
@@ -221,6 +221,10 @@ def raster_gbuffer_pallas(
     MXU/VPU-friendly sizes; use the XLA oracle otherwise). ``cap`` is the
     static per-tile bin capacity; ``chunk`` the slice of a bin streamed into
     VMEM per grid step.
+
+    Returns (GBuffer, overflow): `overflow` is a traced bool scalar that is
+    True when any bin exceeded `cap` (those triangles were dropped) — callers
+    must surface it or re-bin with a larger cap; never ignore it silently.
     """
     if h % tile_h or w % tile_w:
         raise ValueError(f"frame {h}x{w} not divisible by tile {tile_h}x{tile_w}")
@@ -277,7 +281,7 @@ def raster_gbuffer_pallas(
     flat = (tile_idx * cap + jnp.maximum(slot, 0)).reshape(-1)
     gathered = bins.ids.reshape(-1)[flat].reshape(h, w)
     tid = jnp.where(slot >= 0, gathered, -1).astype(jnp.int32)
-    return GBuffer(z=z, tid=tid, b=jnp.stack([b0, b1, b2], axis=-1))
+    return GBuffer(z=z, tid=tid, b=jnp.stack([b0, b1, b2], axis=-1)), bins.overflow
 
 
 def _round_up(x: int, m: int) -> int:
@@ -406,9 +410,11 @@ def raster_attrs_pallas(
 
     extra_f: f32 [T, 3*(n2+n3)] channel triples laid out as
     [n2 x q0][n2 x q10][n2 x q20][n3 x qb1][n3 x qb2][n3 x qb0].
-    Returns (z [h,w], mask bool [h,w], lin: tuple of n2+n3 f32 [h,w] planes)
-    where `lin` still needs the perspective divide by the interpolated-1/w
-    channel (the first plane).
+    Returns (z [h,w], mask bool [h,w], lin: tuple of n2+n3 f32 [h,w] planes,
+    overflow bool scalar) where `lin` still needs the perspective divide by
+    the interpolated-1/w channel (the first plane). `overflow` fires when a
+    bin exceeded `cap` or a triangle's tile span exceeded `spans` — in either
+    case triangles were dropped and callers must re-bin, never ignore it.
     """
     if h % tile_h or w % tile_w:
         raise ValueError(f"frame {h}x{w} not divisible by tile {tile_h}x{tile_w}")
@@ -465,7 +471,7 @@ def raster_attrs_pallas(
         interpret=interpret,
     )(bins.counts, bins.setup_i, bins.setup_f)
     z, slot = outs[0], outs[1]
-    return z, slot >= 0, tuple(outs[2:])
+    return z, slot >= 0, tuple(outs[2:]), bins.overflow
 
 
 def max_bin_count(setup: TriSetup, h: int, w: int,

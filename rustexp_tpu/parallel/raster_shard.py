@@ -38,11 +38,15 @@ def make_sharded_render(
     bg_idx: int = 0,
     backend: str = "xla",
     axis: str = "rows",
+    return_overflow: bool = False,
 ):
     """Build a jitted (scene, eye, tick) -> fb renderer sharded over `axis`.
 
     The returned framebuffer is row-sharded across the mesh; callers can
-    keep computing on it sharded or pull it to host for display.
+    keep computing on it sharded or pull it to host for display. With
+    ``return_overflow=True`` (pallas backend) the renderer also returns an
+    any-reduced bool: True if any device's bins overflowed and dropped
+    triangles.
     """
     n_dev = mesh.shape[axis]
     if h % n_dev:
@@ -62,10 +66,11 @@ def make_sharded_render(
         # Integer band translation: exact under the 28.4 truncating snap
         vp_local = vp.at[:, 1].add(-y_org)
         setup = setup_triangles(vp_local, scene.tris, w, band_h)
+        overflow = jnp.bool_(False)
         if backend == "pallas":
             from ..ops.raster_pallas import raster_gbuffer_pallas
 
-            gb = raster_gbuffer_pallas(setup, band_h, w)
+            gb, overflow = raster_gbuffer_pallas(setup, band_h, w)
         else:
             gb = raster_gbuffer_xla(setup, band_h, w)
 
@@ -85,17 +90,25 @@ def make_sharded_render(
             gb, scene, vp, world, n_world, colors, eye, tick,
             per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=bg,
         )
+        if return_overflow:
+            any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis) > 0
+            return fb, any_overflow
         return fb
 
     replicated = P()
+    out_specs = (P(axis, None), P()) if return_overflow else P(axis, None)
     fn = shard_map(
         band_render,
         mesh=mesh,
         in_specs=(replicated, replicated, replicated),
-        out_specs=P(axis, None),
+        out_specs=out_specs,
         check_rep=False,
     )
-    out_sharding = NamedSharding(mesh, P(axis, None))
+    if return_overflow:
+        out_sharding = (NamedSharding(mesh, P(axis, None)),
+                        NamedSharding(mesh, P()))
+    else:
+        out_sharding = NamedSharding(mesh, P(axis, None))
     return jax.jit(fn, out_shardings=out_sharding)
 
 

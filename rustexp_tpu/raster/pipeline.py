@@ -214,6 +214,9 @@ def raster_and_shade_pallas(
     per-pixel) as screen-space planes — the same interpolation the reference
     runs per fragment (rasterizer.rs:1713-1744). Shading is then pure
     elementwise VPU work.
+
+    Returns (fb, overflow): `overflow` is a traced bool scalar — True means
+    the static bin capacity/spans were exceeded and triangles were dropped.
     """
     from ..ops.raster_pallas import (
         attr_channels_2mad, attr_channels_3w, raster_attrs_pallas,
@@ -238,8 +241,8 @@ def raster_and_shade_pallas(
         extra = jnp.concatenate([f2, f3], axis=1)
         n3 = 6
 
-    z, mask, lin = raster_attrs_pallas(setup, extra, n2, n3, h, w, cap=cap,
-                                       spans=spans)
+    z, mask, lin, overflow = raster_attrs_pallas(setup, extra, n2, n3, h, w,
+                                                 cap=cap, spans=spans)
     wr = 1.0 / lin[0]
 
     def ch_last(ps):
@@ -253,7 +256,7 @@ def raster_and_shade_pallas(
     else:
         out = c
     packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
-    return jnp.where(mask, packed, bg_fb)
+    return jnp.where(mask, packed, bg_fb), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +392,7 @@ def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
     jax.jit,
     static_argnames=(
         "w", "h", "mode", "per_pixel", "shader_idx", "bg_idx", "show_cm",
-        "backend", "raster_cap", "raster_spans",
+        "backend", "raster_cap", "raster_spans", "return_overflow",
     ),
 )
 def render_frame(
@@ -407,12 +410,19 @@ def render_frame(
     backend: str = "auto",
     raster_cap: int | None = None,
     raster_spans: tuple | None = None,
+    return_overflow: bool = False,
 ):
     """Render one frame -> uint32 ABGR [h, w], bottom-left origin.
 
     The TPU-native rast_draw (rasterizer.rs:1891-2206). ``backend`` selects
     the G-buffer producer: "xla" (whole-frame oracle), "pallas" (binned tile
     kernel), or "auto" (pallas for real meshes, xla for tiny ones).
+
+    With ``return_overflow=True`` returns (fb, overflow): a traced bool that
+    is True when the Pallas binner's static capacity/spans were exceeded and
+    triangles were dropped. Interactive callers must re-bin when it fires
+    (the reference's dynamic bins are exact by construction,
+    rasterizer.rs:2115-2163; our static-shape bins trade that for a flag).
     """
     if show_cm is None:
         show_cm = sh.shader_uses_cm(shader_idx)
@@ -422,6 +432,7 @@ def render_frame(
     vp, world, n_world = transform_vertices(scene, eye, w, h)
 
     fb = background(bg_idx, w, h)
+    overflow = jnp.bool_(False)
 
     if mode == MODE_POINT:
         fb = draw_points(fb, vp, scene.tris, w, h)
@@ -439,7 +450,7 @@ def render_frame(
         tileable = h % TILE_H == 0 and w % TILE_W == 0
         use_pallas = backend == "pallas" or (backend == "auto" and tileable)
         if use_pallas:
-            fb = raster_and_shade_pallas(
+            fb, overflow = raster_and_shade_pallas(
                 scene, setup, vp, world, n_world, colors, eye, tick,
                 w=w, h=h, per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,
                 cap=raster_cap, spans=raster_spans,
@@ -453,4 +464,6 @@ def render_frame(
 
     if show_cm:
         fb = overlay_cross(fb, scene.cross)
+    if return_overflow:
+        return fb, overflow
     return fb

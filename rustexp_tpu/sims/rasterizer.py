@@ -56,12 +56,31 @@ class RasterizerExperiment:
         scene, (cap, spans) = self._scene(state, w, h)
         eye = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), tick)
         t0 = time.perf_counter()
-        fb = pp.render_frame(
+        fb, overflow = pp.render_frame(
             scene, eye, tick, w=w, h=h, mode=state.mode,
             per_pixel=state.per_pixel, shader_idx=state.shader_idx,
             bg_idx=state.bg_idx, backend=state.backend, raster_cap=cap,
-            raster_spans=spans,
+            raster_spans=spans, return_overflow=True,
         )
+        if bool(overflow):
+            # Camera moved past the cached binning's cap/span margins and
+            # triangles were dropped: re-measure at this viewpoint and
+            # re-render. The reference's dynamic bins are exact by
+            # construction (rasterizer.rs:2115-2163); static shapes trade
+            # that for this loud re-bin.
+            from ..core.trace import trace_warn
+
+            trace_warn(f"bin overflow at tick {tick:.2f}; re-binning")
+            key = state._scene_cache[0]
+            binning = pp.suggest_binning(scene, eye, w, h)
+            state._scene_cache = (key, scene, binning)
+            cap, spans = binning
+            fb, overflow = pp.render_frame(
+                scene, eye, tick, w=w, h=h, mode=state.mode,
+                per_pixel=state.per_pixel, shader_idx=state.shader_idx,
+                bg_idx=state.bg_idx, backend=state.backend, raster_cap=cap,
+                raster_spans=spans, return_overflow=True,
+            )
         jax.block_until_ready(fb)
         state.frame_times.push(time.perf_counter() - t0)
         return fb

@@ -99,7 +99,8 @@ class TestGBuffer:
         vp, _, _ = pp.transform_vertices(scene, jnp.asarray(eye), W, H)
         s = setup_triangles(vp, scene.tris, W, H)
         gx = raster_gbuffer_xla(s, H, W)
-        gp = raster_gbuffer_pallas(s, H, W)
+        gp, overflow = raster_gbuffer_pallas(s, H, W)
+        assert not bool(overflow)
         assert np.array_equal(np.asarray(gx.tid), np.asarray(gp.tid))
         assert np.array_equal(np.asarray(gx.z), np.asarray(gp.z))
         assert np.array_equal(np.asarray(gx.b), np.asarray(gp.b))
@@ -277,6 +278,23 @@ def test_benchmark_table_matches_reference():
 
     assert sum(s[3] for s in SCENES) == REF_TOTAL_US == 27286
     assert len(SCENES) == 12
+
+
+def test_overflow_is_loud():
+    # A deliberately tiny bin cap must not drop triangles silently: the
+    # overflow flag fires, and the default (auto-sized) cap renders the
+    # same frame with overflow clear.
+    scene = pp.make_scene(mesh.make_sphere(12, 24), cubemap.make_procedural_set())
+    eye = camera.cam_orbit(0.7)
+    kw = dict(w=W, h=H, shader_idx=0, show_cm=False, backend="pallas",
+              return_overflow=True)
+    _, overflow_small = pp.render_frame(scene, eye, 0.7, raster_cap=8, **kw)
+    assert bool(overflow_small)
+    fb, overflow = pp.render_frame(scene, eye, 0.7, **kw)
+    assert not bool(overflow)
+    fb_plain = pp.render_frame(scene, eye, 0.7, w=W, h=H, shader_idx=0,
+                               show_cm=False, backend="pallas")
+    assert np.array_equal(np.asarray(fb), np.asarray(fb_plain))
 
 
 def test_suggest_binning_cpu():
