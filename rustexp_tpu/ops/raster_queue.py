@@ -1,0 +1,386 @@
+"""Flat-queue tile rasterizer — round-2 production G-buffer producer.
+
+Replaces the [n_tiles, cap] bin layout of ops/raster_pallas.py. Measured
+facts that force this design (see docs/ROADMAP.md round-2 notes):
+
+  * The [nT, cap] bins stream nT*cap rows into VMEM every frame regardless
+    of real occupancy — a ~620 us DMA floor at killeroo (16 MB/frame).
+    The flat queue streams only ~#pairs rows (~2 MB): floor gone.
+  * Per-triangle constants fetched as vector broadcasts cost ~75 cycles per
+    triangle ([G,th,1] relayouts dominate the kernel). Reading them as SMEM
+    scalars makes them free vector-scalar operands: the kernel drops from
+    ~1.53 ms to ~0.75 ms on killeroo, and the triangle-group axis vanishes.
+  * 8-row tiles only become profitable once bin DMA is proportional to real
+    pairs; then each candidate evaluates [8,128] = one vreg per op.
+
+Layout: the screen is tiled 8x128 (nty x ntx tiles). Each tile owns a
+contiguous, chunk-aligned segment of the queue; a 1-D Pallas grid walks
+chunks, with per-chunk scalars (tile ty/tx, first-chunk flag, pair count)
+prefetched into SMEM driving the output-block index map. Pair order within
+a tile is ascending triangle id = submission order, so the strict-less
+depth test reproduces the reference's first-wins tie rule exactly
+(rasterizer.rs:1704-1708).
+
+The queue STRUCTURE (which triangle lands in which slot) depends only on
+AABB/tile geometry, so callers may cache it across frames and re-gather the
+per-frame geometry rows cheaply; `check_queue_valid` reports whether a new
+frame's setup still fits the cached structure (camera moved too far ->
+rebuild). This is the bins-amortization strategy of VERDICT round 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster_setup import TriSetup
+
+TILE_H = 8
+TILE_W = 128
+CHUNK = 128
+
+# int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y pad
+# (padded to 12 so int rows keep the same width as raster_pallas)
+_I_CH = 12
+_F_CH = 7  # bias0 bias1 bias2 z0 z10 z20 inv_a2  (+ 3*(n2+n3) attr channels)
+
+
+class Queue(NamedTuple):
+    """Camera-coherent raster work queue (a pytree; cacheable across frames)."""
+
+    ids: jnp.ndarray        # i32 [S, chunk] triangle id per slot, -1 = empty
+    scal: jnp.ndarray       # i32 [S, 4] per-chunk (ty, tx, first, count)
+    ranges: jnp.ndarray     # i32 [T, 4] binned tile ranges (ty0, ty1, tx0, tx1)
+    built_valid: jnp.ndarray  # bool [T] triangle was front-facing at build
+    overflow: jnp.ndarray   # bool [] structure truncated (spans/S exceeded)
+
+
+def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Inclusive tile index ranges covered by each (clipped) pixel AABB."""
+    ty0 = setup.min_y // tile_h
+    ty1 = (setup.max_y - 1) // tile_h
+    tx0 = setup.min_x // tile_w
+    tx1 = (setup.max_x - 1) // tile_w
+    return ty0, ty1, tx0, tx1
+
+
+def build_queue(
+    setup: TriSetup, h: int, w: int, *,
+    s_cap: int, m_y: int, m_x: int,
+    chunk: int = CHUNK, tile_h: int = TILE_H, tile_w: int = TILE_W,
+) -> Queue:
+    """Construct the flat queue from a frame's triangle setup.
+
+    Static config (s_cap = chunk rows, m_y/m_x = max tile spans enumerated)
+    comes from `suggest_queue`. Reference analog: the per-tile Vec push
+    binning loop rasterizer.rs:2115-2163, re-shaped as one flat key sort so
+    every step is a static-shape XLA op.
+    """
+    nty, ntx = h // tile_h, w // tile_w
+    n_tiles = nty * ntx
+    T = setup.A.shape[0]
+
+    ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
+    span_y = ty1 - ty0 + 1
+    span_x = tx1 - tx0 + 1
+
+    # Pair enumeration: keys = tile*T + t, invalid slots sort to the end.
+    dy = jnp.arange(m_y, dtype=jnp.int32)
+    dx = jnp.arange(m_x, dtype=jnp.int32)
+    t_ty = ty0[:, None, None] + dy[None, :, None]
+    t_tx = tx0[:, None, None] + dx[None, None, :]
+    ok = (
+        setup.valid[:, None, None]
+        & (dy[None, :, None] < span_y[:, None, None])
+        & (dx[None, None, :] < span_x[:, None, None])
+    )
+    tile_id = t_ty * ntx + t_tx
+    tri_id = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None, None], tile_id.shape)
+    big = jnp.int32(n_tiles * T)
+    skey = jnp.sort(jnp.where(ok, tile_id * T + tri_id, big).reshape(-1))
+
+    bounds = jnp.searchsorted(
+        skey, jnp.arange(n_tiles + 1, dtype=jnp.int32) * T).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]  # [nT]
+
+    # Chunk-aligned segment layout. Only tiles with pairs get chunks; the
+    # slot plane of never-visited tiles stays -1 via input/output aliasing
+    # of a prefilled buffer (z/attr planes are garbage there and must only
+    # be consumed under the slot>=0 mask).
+    cpt = pl.cdiv(counts, chunk)                  # chunks per tile
+    starts = jnp.cumsum(cpt) - cpt                # first chunk index per tile
+    total_chunks = jnp.sum(cpt)
+
+    cs = jnp.arange(s_cap, dtype=jnp.int32)
+    lo = starts
+    hi = starts + cpt
+    in_tile = (cs[None, :] >= lo[:, None]) & (cs[None, :] < hi[:, None])
+    tile_of = jnp.argmax(in_tile, axis=0).astype(jnp.int32)
+    chunk_live = jnp.any(in_tile, axis=0)
+    k_of = cs - starts[tile_of]
+    first = (chunk_live & (k_of == 0)) | ~chunk_live
+    cnt = jnp.clip(counts[tile_of] - k_of * chunk, 0, chunk)
+    cnt = jnp.where(chunk_live, cnt, 0)
+    # Pad chunks beyond the live total are routed to a dummy tile row
+    # (ty = nty) that the caller slices off: Pallas does NOT refetch output
+    # blocks on revisit, so a pad chunk aimed at a real tile would write an
+    # uninitialized buffer over finished pixels.
+    ty = jnp.where(chunk_live, tile_of // ntx, nty)
+    tx = jnp.where(chunk_live, tile_of % ntx, 0)
+    scal = jnp.stack(
+        [ty, tx, first.astype(jnp.int32), cnt], axis=1)  # [S, 4]
+
+    # Slot -> source pair
+    pos = (bounds[tile_of] + k_of * chunk)[:, None] + jnp.arange(
+        chunk, dtype=jnp.int32)[None, :]                       # [S, chunk]
+    slot_ok = jnp.arange(chunk, dtype=jnp.int32)[None, :] < cnt[:, None]
+    src = skey[jnp.clip(pos, 0, skey.shape[0] - 1).reshape(-1)]
+    ids = jnp.where(slot_ok, src.reshape(s_cap, chunk) % T, -1).astype(jnp.int32)
+
+    overflow = (
+        (total_chunks > s_cap)
+        | jnp.any(setup.valid & ((span_y > m_y) | (span_x > m_x)))
+    )
+    ranges = jnp.stack([ty0, ty1, tx0, tx1], axis=1)
+    return Queue(ids=ids, scal=scal, ranges=ranges,
+                 built_valid=setup.valid, overflow=overflow)
+
+
+def check_queue_valid(queue: Queue, setup: TriSetup,
+                      tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Is the cached structure still a superset of this frame's coverage?
+
+    True = safe to reuse (extra stale pairs are harmless: their edge tests
+    exclude all pixels they no longer cover). False = triangles moved out of
+    their binned tiles or flipped front-facing -> rebuild.
+    """
+    ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
+    r = queue.ranges
+    inside = ((ty0 >= r[:, 0]) & (ty1 <= r[:, 1])
+              & (tx0 >= r[:, 2]) & (tx1 <= r[:, 3]))
+    ok = jnp.all(jnp.where(setup.valid,
+                           inside & queue.built_valid, True))
+    return ok & ~queue.overflow
+
+
+def pack_rows(setup: TriSetup, extra_f: jnp.ndarray):
+    """Per-triangle packed channel rows (gathered per pair each frame)."""
+    T = setup.A.shape[0]
+    zero = jnp.zeros((T, 1), jnp.int32)
+    packed_i = jnp.concatenate(
+        [setup.A[:, :2], setup.B[:, :2], setup.C[:, :2],
+         jnp.sum(setup.C, axis=1, keepdims=True),
+         setup.min_x[:, None], setup.min_y[:, None],
+         setup.max_x[:, None], setup.max_y[:, None], zero],
+        axis=1,
+    )
+    packed_f = jnp.concatenate(
+        [setup.bias, setup.z0[:, None], setup.z10[:, None],
+         setup.z20[:, None], setup.inv_a2[:, None], extra_f], axis=1)
+    return packed_i, packed_f
+
+
+def gather_rows(queue: Queue, packed_i, packed_f):
+    """Per-frame geometry refresh: one row gather per queue slot."""
+    s_cap, chunk = queue.ids.shape
+    flat = jnp.maximum(queue.ids.reshape(-1), 0)
+    rows_i = packed_i[flat].reshape(s_cap, chunk, packed_i.shape[1])
+    rows_f = packed_f[flat].reshape(s_cap, chunk, packed_f.shape[1])
+    # Empty slots: force an empty AABB so in_box never admits a pixel.
+    empty = (queue.ids < 0)[..., None]
+    ch = jnp.arange(packed_i.shape[1], dtype=jnp.int32)[None, None, :]
+    rows_i = jnp.where(empty & (ch >= 9) & (ch <= 10), 0, rows_i)
+    return rows_i, rows_f
+
+
+def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
+                  chunk: int, n2: int, n3: int, interleave: int,
+                  tile_h: int, tile_w: int):
+    """One chunk per grid step; per-pair constants are SMEM scalars."""
+    z_ref, slot_ref = out_refs[0], out_refs[1]
+    lin_refs = out_refs[2:]
+    c = pl.program_id(0)
+    ty = scal_ref[c, 0]
+    tx = scal_ref[c, 1]
+    first = scal_ref[c, 2]
+    cnt = scal_ref[c, 3]
+
+    shape2 = (tile_h, tile_w)
+    xs = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+    ys = ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    xf = xs << 4
+    yf = ys << 4
+
+    @pl.when(first == 1)
+    def _init():
+        z_ref[:] = jnp.ones(shape2, jnp.float32)
+        slot_ref[:] = jnp.full(shape2, -1, jnp.int32)
+        for r in lin_refs:
+            r[:] = jnp.zeros(shape2, jnp.float32)
+
+    def one(p, slot_base):
+        A0 = rows_i_ref[0, p, 0]
+        A1 = rows_i_ref[0, p, 1]
+        B0 = rows_i_ref[0, p, 2]
+        B1 = rows_i_ref[0, p, 3]
+        C0 = rows_i_ref[0, p, 4]
+        C1 = rows_i_ref[0, p, 5]
+        S = rows_i_ref[0, p, 6]
+        mnx = rows_i_ref[0, p, 7]
+        mny = rows_i_ref[0, p, 8]
+        mxx = rows_i_ref[0, p, 9]
+        mxy = rows_i_ref[0, p, 10]
+
+        # Same integer edge math as the XLA oracle (28.4 fixed point,
+        # third edge from e0+e1+e2 = S, sign-OR inside test).
+        e0 = A0 * xf + B0 * yf + C0
+        e1 = A1 * xf + B1 * yf + C1
+        e2 = S - e0 - e1
+        inside = (e0 | e1 | e2) >= 0
+        in_box = (xs >= mnx) & (ys >= mny) & (xs < mxx) & (ys < mxy)
+        inv_a2 = rows_f_ref[0, p, 6]
+        b0 = e0.astype(jnp.float32) * inv_a2 - rows_f_ref[0, p, 0]
+        b1 = e1.astype(jnp.float32) * inv_a2 - rows_f_ref[0, p, 1]
+        b2 = e2.astype(jnp.float32) * inv_a2 - rows_f_ref[0, p, 2]
+        zi = (rows_f_ref[0, p, 3] + rows_f_ref[0, p, 4] * b2
+              + rows_f_ref[0, p, 5] * b0)
+        zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
+
+        lins = []
+        off = _F_CH
+        for a in range(n2):
+            lins.append(rows_f_ref[0, p, off + a]
+                        + rows_f_ref[0, p, off + n2 + a] * b2
+                        + rows_f_ref[0, p, off + 2 * n2 + a] * b0)
+        off = _F_CH + 3 * n2
+        for a in range(n3):
+            lins.append(rows_f_ref[0, p, off + a] * b1
+                        + rows_f_ref[0, p, off + n3 + a] * b2
+                        + rows_f_ref[0, p, off + 2 * n3 + a] * b0)
+
+        upd = zm < z_ref[:]
+        z_ref[:] = jnp.where(upd, zm, z_ref[:])
+        slot_ref[:] = jnp.where(upd, slot_base + p, slot_ref[:])
+        for r, lin in zip(lin_refs, lins):
+            r[:] = jnp.where(upd, lin, r[:])
+
+    n_iters = jnp.clip(pl.cdiv(cnt, interleave), 0, chunk // interleave)
+
+    def body(i, _):
+        for k in range(interleave):
+            one(i * interleave + k, c * chunk)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n2", "n3", "h", "w", "chunk", "tile_h", "tile_w", "interleave",
+    "interpret"))
+def raster_attrs_queue(
+    queue: Queue, setup: TriSetup, extra_f: jnp.ndarray, n2: int, n3: int,
+    h: int, w: int, *, chunk: int = CHUNK, tile_h: int = TILE_H,
+    tile_w: int = TILE_W, interleave: int = 2, interpret: bool | None = None,
+):
+    """Rasterize + interpolate attribute planes through the flat queue.
+
+    Returns (z, mask, lins tuple, stale) — `stale` is True when the cached
+    queue no longer covers this frame's geometry (or overflowed at build):
+    the caller must rebuild the queue and re-render.
+    """
+    if h % tile_h or w % tile_w:
+        raise ValueError(f"frame {h}x{w} not divisible by {tile_h}x{tile_w}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert extra_f.shape[1] == 3 * (n2 + n3)
+
+    packed_i, packed_f = pack_rows(setup, extra_f)
+    rows_i, rows_f = gather_rows(queue, packed_i, packed_f)
+    s_cap = queue.ids.shape[0]
+    f_ch = _F_CH + 3 * (n2 + n3)
+    n_planes = n2 + n3
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_cap,),
+        in_specs=[
+            pl.BlockSpec((1, chunk, _I_CH), lambda c, scal: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, f_ch), lambda c, scal: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # slot-plane init (-1): aliased to the slot output; never read
+            # inside the kernel, never fetched (ANY = stays in HBM), so
+            # never-visited tiles read back as empty.
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda c, scal: (scal[c, 0], scal[c, 1]),
+                         memory_space=pltpu.VMEM)
+        ] * (2 + n_planes),
+    )
+    # One extra tile row receives pad-chunk writes; sliced off below.
+    hp = h + tile_h
+    out_shape = (
+        [jax.ShapeDtypeStruct((hp, w), jnp.float32),
+         jax.ShapeDtypeStruct((hp, w), jnp.int32)]
+        + [jax.ShapeDtypeStruct((hp, w), jnp.float32)] * n_planes
+    )
+    kernel = functools.partial(
+        _queue_kernel, chunk=chunk, n2=n2, n3=n3, interleave=interleave,
+        tile_h=tile_h, tile_w=tile_w)
+
+    def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, *outs):
+        del slot_init_ref
+        kernel(scal_ref, ri_ref, rf_ref, *outs)
+
+    slot_init = jnp.full((hp, w), -1, jnp.int32)
+    outs = pl.pallas_call(
+        kernel_entry,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={3: 1},  # slot_init (incl. prefetch arg) -> slot
+        interpret=interpret,
+    )(queue.scal, rows_i, rows_f, slot_init)
+    z, slot = outs[0][:h], outs[1][:h]
+    stale = ~check_queue_valid(queue, setup, tile_h, tile_w)
+    return z, slot >= 0, tuple(o[:h] for o in outs[2:]), stale
+
+
+def suggest_queue_config(setup_stats, margin: float = 1.3,
+                         chunk: int = CHUNK):
+    """Static (s_cap, m_y, m_x) from measured (chunks, span_y, span_x).
+
+    The +1 span headroom and chunk margin absorb camera drift so cached
+    structures can be rebuilt at nearby viewpoints without recompiling.
+    """
+    total_chunks, sy, sx = setup_stats
+    s_cap = max(8, int(int(total_chunks) * margin) + 4)
+    return s_cap, int(sy) + 1, int(sx) + 1
+
+
+def queue_stats(setup: TriSetup, h: int, w: int,
+                chunk: int = CHUNK, tile_h: int = TILE_H,
+                tile_w: int = TILE_W):
+    """(total chunk count, max span_y, max span_x) for suggest_queue_config."""
+    nty, ntx = h // tile_h, w // tile_w
+    ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
+    one = jnp.int32(1)
+    span_y = jnp.where(setup.valid, ty1 - ty0 + 1, one)
+    span_x = jnp.where(setup.valid, tx1 - tx0 + 1, one)
+
+    # per-tile counts via the coverage matrix (build-time only)
+    ty = jnp.arange(nty, dtype=jnp.int32)
+    tx = jnp.arange(ntx, dtype=jnp.int32)
+    cov_y = (ty[None, :] >= ty0[:, None]) & (ty[None, :] <= ty1[:, None])
+    cov_x = (tx[None, :] >= tx0[:, None]) & (tx[None, :] <= tx1[:, None])
+    cov = cov_y[:, :, None] & cov_x[:, None, :] & setup.valid[:, None, None]
+    counts = cov.reshape(-1, nty * ntx).sum(axis=0).astype(jnp.int32)
+    total_chunks = jnp.sum(pl.cdiv(counts, chunk))
+    return total_chunks, jnp.max(span_y), jnp.max(span_x)

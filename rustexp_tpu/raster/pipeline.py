@@ -46,7 +46,13 @@ NUM_BACKGROUNDS = len(BACKGROUNDS)
 
 
 class Scene(NamedTuple):
-    """Device-resident scene inputs for one frame (a pytree)."""
+    """Device-resident scene inputs for one frame (a pytree).
+
+    The c_* members are the DE-INDEXED triangle corners ([3T, ...], corner
+    j of triangle t at row 3t+j). Per-frame corner gathers (vp[tris[:, j]])
+    cost ~5-8 ns per index on TPU's scalar core; de-indexing once at scene
+    build turns the whole vertex pipeline into gather-free matmuls.
+    """
 
     positions: jnp.ndarray  # f32 [V, 3] mesh-space
     normals: jnp.ndarray    # f32 [V, 3]
@@ -56,12 +62,17 @@ class Scene(NamedTuple):
     it33: jnp.ndarray       # f32 [3, 3] inverse-transpose of ndim's 3x3
     cm: jnp.ndarray         # f32 [5, 6, 64, 64, 3] irradiance cubemap set
     cross: jnp.ndarray      # u32 [ch, cw] unfolded cubemap preview
+    c_pos: jnp.ndarray      # f32 [3T, 3] de-indexed corner positions
+    c_nrm: jnp.ndarray      # f32 [3T, 3] de-indexed corner normals
+    c_col: jnp.ndarray      # f32 [3T, 3] de-indexed corner baked colors
 
 
 def make_scene(mesh, cm_set) -> Scene:
     """Build a Scene from assets.mesh.MeshData + assets.cubemap.CubeMapSet."""
     ndim = mesh.normalize_dimensions()
     it33 = np.linalg.inv(ndim).T[:3, :3].astype(np.float32)
+    tris = np.asarray(mesh.tris)
+    flat = tris.reshape(-1)
     return Scene(
         positions=jnp.asarray(mesh.positions),
         normals=jnp.asarray(mesh.normals),
@@ -71,6 +82,9 @@ def make_scene(mesh, cm_set) -> Scene:
         it33=jnp.asarray(it33),
         cm=jnp.asarray(cm_set.data),
         cross=jnp.asarray(cm_set.cross),
+        c_pos=jnp.asarray(np.asarray(mesh.positions)[flat]),
+        c_nrm=jnp.asarray(np.asarray(mesh.normals)[flat]),
+        c_col=jnp.asarray(np.asarray(mesh.colors)[flat]),
     )
 
 
@@ -112,6 +126,40 @@ def viewport_matrix(w: int, h: int):
     )
 
 
+def inv_world_to_vp(eye, w: int, h: int):
+    """Analytic inverse of the world->viewport chain (for ray unprojection).
+
+    Composed from the analytic inverses of look_at (rigid), perspective, and
+    viewport — numerically stable in f32, no linear solve.
+    """
+    zaxis = sh.normalize(eye - jnp.zeros(3, jnp.float32))
+    xaxis = sh.normalize(jnp.cross(jnp.array([0.0, 1.0, 0.0]), zaxis))
+    yaxis = jnp.cross(zaxis, xaxis)
+    R = jnp.stack([xaxis, yaxis, zaxis])  # rows
+    inv_look = jnp.concatenate(
+        [jnp.concatenate([R.T, eye[:, None]], axis=1),
+         jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=jnp.float32)], axis=0)
+
+    aspect = w / h
+    tan_half = np.tan(np.float32(45.0) * np.float32(0.0174532925) / 2.0)
+    near, far = 0.1, 10.0
+    m00 = 1.0 / (aspect * tan_half)
+    m11 = 1.0 / tan_half
+    m22 = -(far + near) / (far - near)
+    m23 = -(2.0 * far * near) / (far - near)
+    inv_persp = jnp.array(
+        [[1.0 / m00, 0, 0, 0],
+         [0, 1.0 / m11, 0, 0],
+         [0, 0, 0, -1.0],
+         [0, 0, 1.0 / m23, m22 / m23]], dtype=jnp.float32)
+
+    wh, hh = w / 2.0, h / 2.0
+    inv_vpm = jnp.array(
+        [[1.0 / wh, 0, 0, -1.0], [0, 1.0 / hh, 0, -1.0],
+         [0, 0, 1.0, 0], [0, 0, 0, 1.0]], dtype=jnp.float32)
+    return inv_look @ inv_persp @ inv_vpm
+
+
 def transform_vertices(scene: Scene, eye, w: int, h: int):
     """Mesh space -> (viewport vp with 1/w, world positions, world normals).
 
@@ -133,6 +181,29 @@ def transform_vertices(scene: Scene, eye, w: int, h: int):
     vp = jnp.concatenate([clip[:, :3] * inv_w[:, None], inv_w[:, None]], axis=1)
     n_world = scene.normals @ scene.it33.T
     return vp, world, n_world
+
+
+def transform_corners(scene: Scene, eye, w: int, h: int):
+    """De-indexed corner transform: (vp_c [3T,4], n_c [3T,3]) — no gathers.
+
+    Identical arithmetic per row as transform_vertices (same matmul on the
+    same values), so corner results are bit-equal to vp[tris[:, j]].
+    """
+    world_to_vp = (
+        viewport_matrix(w, h)
+        @ perspective(45.0, w / h, 0.1, 10.0)
+        @ look_at(eye, jnp.zeros(3, jnp.float32), jnp.array([0.0, 1.0, 0.0]))
+    )
+    pos_h = jnp.concatenate(
+        [scene.c_pos, jnp.ones((scene.c_pos.shape[0], 1), jnp.float32)],
+        axis=1)
+    world_h = pos_h @ scene.ndim.T
+    clip = world_h @ world_to_vp.T
+    inv_w = 1.0 / clip[:, 3]
+    vp_c = jnp.concatenate(
+        [clip[:, :3] * inv_w[:, None], inv_w[:, None]], axis=1)
+    n_c = scene.c_nrm @ scene.it33.T
+    return vp_c, n_c
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +330,93 @@ def raster_and_shade_pallas(
     return jnp.where(mask, packed, bg_fb), overflow
 
 
+def raster_and_shade_queue(
+    scene: Scene, queue, colors, eye, tick,
+    *, w: int, h: int, per_pixel: bool, shader_idx: int, bg_fb,
+    ray_world: bool = True,
+):
+    """Flat-queue Fill path (ops/raster_queue.py) — the round-2 fast path.
+
+    Uses the de-indexed corner arrays (Scene.c_*): triangle setup and
+    attribute channels are built without a single per-frame gather (except
+    one flat gather of per-vertex-shaded colors in V mode). Per-pixel world
+    positions are reconstructed from the interpolated viewport (x, y, z, w)
+    by the analytic inverse transform instead of interpolating three extra
+    planes (VERDICT r1 #2c); set ray_world=False to interpolate them exactly
+    like the reference (parity tests).
+
+    `colors` is the per-unique-vertex shaded colors in V mode, or None in
+    per-pixel mode (baked corner colors are static).
+
+    Returns (fb, stale): `stale` means the cached queue no longer covers
+    this frame — rebuild it and re-render.
+    """
+    from ..ops.raster_pallas import attr_channels_2mad, attr_channels_3w
+    from ..ops.raster_queue import raster_attrs_queue
+    from ..ops.raster_setup import setup_triangles_v
+
+    vp_c, n_c = transform_corners(scene, eye, w, h)
+    T = scene.tris.shape[0]
+    v0, v1, v2 = vp_c[0::3], vp_c[1::3], vp_c[2::3]
+    setup = setup_triangles_v(v0, v1, v2, w, h)
+    iw0, iw1, iw2 = v0[:, 3], v1[:, 3], v2[:, 3]
+    ones = jnp.ones((T, 1), jnp.float32)
+
+    if per_pixel:
+        c_col = scene.c_col  # static baked corners, zero gathers
+    else:
+        c_col = colors[scene.tris.reshape(-1)]  # one flat [3T] row gather
+
+    def cat2(j):
+        return jnp.concatenate([ones, c_col[j::3]], axis=1)
+
+    f2 = attr_channels_2mad(iw0, iw1, iw2, cat2(0), cat2(1), cat2(2))
+    n2, n3 = 4, 0
+    extra = f2
+    if per_pixel:
+        if ray_world:
+            f3 = attr_channels_3w(iw0, iw1, iw2, n_c[0::3], n_c[1::3],
+                                  n_c[2::3])
+            n3 = 3
+        else:
+            ones3 = jnp.ones((scene.c_pos.shape[0], 1), jnp.float32)
+            world_c = (jnp.concatenate([scene.c_pos, ones3], axis=1)
+                       @ scene.ndim.T)[:, :3]
+
+            def cat3(j):
+                return jnp.concatenate([world_c[j::3], n_c[j::3]], axis=1)
+
+            f3 = attr_channels_3w(iw0, iw1, iw2, cat3(0), cat3(1), cat3(2))
+            n3 = 6
+        extra = jnp.concatenate([f2, f3], axis=1)
+
+    z, mask, lin, stale = raster_attrs_queue(queue, setup, extra, n2, n3,
+                                             h, w)
+    wr = 1.0 / lin[0]
+
+    def ch_last(ps):
+        return jnp.stack([q * wr for q in ps], axis=-1)
+
+    c = ch_last(lin[1:4])
+    if per_pixel:
+        if ray_world:
+            n = ch_last(lin[4:7])
+            M = inv_world_to_vp(eye, w, h)
+            xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+            ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+            p = jnp.stack(
+                [wr * (M[r, 0] * xs + M[r, 1] * ys + M[r, 2] * z + M[r, 3])
+                 for r in range(3)], axis=-1)
+        else:
+            p = ch_last(lin[4:7])
+            n = ch_last(lin[7:10])
+        out = sh.shader_fn(shader_idx)(p, n, c, eye, tick, scene.cm)
+    else:
+        out = c
+    packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
+    return jnp.where(mask, packed, bg_fb), stale
+
+
 # ---------------------------------------------------------------------------
 # Backgrounds, point/line modes, cubemap-cross overlay
 # ---------------------------------------------------------------------------
@@ -375,6 +533,42 @@ def suggest_binning(scene: Scene, eye, w: int, h: int, margin: float = 1.3):
     return cap, (int(sx) + 1, int(sy) + 1)
 
 
+@partial(jax.jit, static_argnames=("w", "h"))
+def _queue_stats_jit(scene: Scene, eye, w: int, h: int):
+    from ..ops.raster_queue import queue_stats
+
+    vp, _, _ = transform_vertices(scene, eye, w, h)
+    setup = setup_triangles(vp, scene.tris, w, h)
+    return queue_stats(setup, h, w)
+
+
+@partial(jax.jit, static_argnames=("w", "h", "s_cap", "m_y", "m_x"))
+def _build_queue_jit(scene: Scene, eye, w: int, h: int, s_cap: int,
+                     m_y: int, m_x: int):
+    from ..ops.raster_queue import build_queue
+
+    vp, _, _ = transform_vertices(scene, eye, w, h)
+    setup = setup_triangles(vp, scene.tris, w, h)
+    return build_queue(setup, h, w, s_cap=s_cap, m_y=m_y, m_x=m_x)
+
+
+def build_scene_queue(scene: Scene, eye, w: int, h: int,
+                      margin: float = 1.3):
+    """Measure + build the flat raster queue for this scene/viewpoint.
+
+    One device round-trip for the static config, then a jitted build. The
+    result is a pytree cacheable across frames; render_frame reports `stale`
+    (via return_overflow) when the camera has moved beyond it.
+    """
+    from ..ops.raster_queue import suggest_queue_config
+
+    eye = jnp.asarray(eye, jnp.float32)
+    stats = jax.device_get(_queue_stats_jit(scene, eye, w, h))
+    s_cap, m_y, m_x = suggest_queue_config(
+        tuple(int(x) for x in stats), margin=margin)
+    return _build_queue_jit(scene, eye, w, h, s_cap, m_y, m_x)
+
+
 def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
     """Pick a power-of-two bin capacity for this scene/viewpoint.
 
@@ -410,13 +604,16 @@ def render_frame(
     backend: str = "auto",
     raster_cap: int | None = None,
     raster_spans: tuple | None = None,
+    raster_queue=None,
     return_overflow: bool = False,
 ):
     """Render one frame -> uint32 ABGR [h, w], bottom-left origin.
 
     The TPU-native rast_draw (rasterizer.rs:1891-2206). ``backend`` selects
     the G-buffer producer: "xla" (whole-frame oracle), "pallas" (binned tile
-    kernel), or "auto" (pallas for real meshes, xla for tiny ones).
+    kernel), "queue" (flat-queue kernel, pass a prebuilt `raster_queue`
+    from ops.raster_queue.build_queue), or "auto" (pallas for real meshes,
+    xla for tiny ones).
 
     With ``return_overflow=True`` returns (fb, overflow): a traced bool that
     is True when the Pallas binner's static capacity/spans were exceeded and
@@ -448,8 +645,14 @@ def render_frame(
         from ..ops.raster_pallas import TILE_H, TILE_W
 
         tileable = h % TILE_H == 0 and w % TILE_W == 0
-        use_pallas = backend == "pallas" or (backend == "auto" and tileable)
-        if use_pallas:
+        if backend == "queue" and raster_queue is not None:
+            fb, overflow = raster_and_shade_queue(
+                scene, raster_queue, None if per_pixel else colors,
+                eye, tick, w=w, h=h, per_pixel=per_pixel,
+                shader_idx=shader_idx, bg_fb=fb,
+            )
+        elif backend == "pallas" or (backend in ("auto", "queue")
+                                     and tileable):
             fb, overflow = raster_and_shade_pallas(
                 scene, setup, vp, world, n_world, colors, eye, tick,
                 w=w, h=h, per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,

@@ -38,49 +38,73 @@ class RasterizerExperiment:
     def init(self, **config) -> RasterState:
         return RasterState(**config)
 
-    def _scene(self, state: RasterState, w: int, h: int):
+    def _scene(self, state: RasterState, w: int, h: int, eye):
+        """Scene + cached raster work structure (rebuilt when stale).
+
+        Big meshes use the flat work queue; small ones the [nT, cap] bins —
+        the measured crossover (see app/benchmark.py QUEUE_MIN_TRIS).
+        """
         key = (state.mesh_idx, state.env_idx, w, h)
         if state._scene_cache is None or state._scene_cache[0] != key:
-            scene = pp.make_scene(
-                mesh.get_mesh(state.mesh_idx), cubemap.get_cm_set(state.env_idx)
-            )
-            eye0 = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), 0.0)
-            binning = pp.suggest_binning(scene, eye0, w, h)
-            state._scene_cache = (key, scene, binning)
+            from ..app.benchmark import QUEUE_MIN_TRIS
+
+            m = mesh.get_mesh(state.mesh_idx)
+            scene = pp.make_scene(m, cubemap.get_cm_set(state.env_idx))
+            if m.num_tris >= QUEUE_MIN_TRIS:
+                work = ("queue", pp.build_scene_queue(scene, eye, w, h))
+            else:
+                work = ("pallas", pp.suggest_binning(scene, eye, w, h))
+            state._scene_cache = (key, scene, work)
         return state._scene_cache[1], state._scene_cache[2]
+
+    def _rebuild(self, state: RasterState, scene, eye, w: int, h: int,
+                 kind: str):
+        key = state._scene_cache[0]
+        if kind == "queue":
+            work = ("queue", pp.build_scene_queue(scene, eye, w, h))
+        else:
+            work = ("pallas", pp.suggest_binning(scene, eye, w, h))
+        state._scene_cache = (key, scene, work)
+        return work
 
     def step(self, state: RasterState) -> RasterState:
         return state  # all per-frame work happens in render (like the reference)
 
-    def render(self, state: RasterState, w: int, h: int, tick: float = 0.0):
-        scene, (cap, spans) = self._scene(state, w, h)
-        eye = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), tick)
-        t0 = time.perf_counter()
-        fb, overflow = pp.render_frame(
-            scene, eye, tick, w=w, h=h, mode=state.mode,
-            per_pixel=state.per_pixel, shader_idx=state.shader_idx,
-            bg_idx=state.bg_idx, backend=state.backend, raster_cap=cap,
-            raster_spans=spans, return_overflow=True,
+    def _frame_kwargs(self, state, work, w, h):
+        kind, data = work
+        kw = dict(
+            w=w, h=h, mode=state.mode, per_pixel=state.per_pixel,
+            shader_idx=state.shader_idx, bg_idx=state.bg_idx,
+            return_overflow=True,
         )
-        if bool(overflow):
-            # Camera moved past the cached binning's cap/span margins and
-            # triangles were dropped: re-measure at this viewpoint and
-            # re-render. The reference's dynamic bins are exact by
-            # construction (rasterizer.rs:2115-2163); static shapes trade
-            # that for this loud re-bin.
-            from ..core.trace import trace_warn
+        backend = state.backend
+        if backend == "auto":
+            backend = kind if (w % 128 == 0 and h % 8 == 0) else "xla"
+        kw["backend"] = backend
+        if backend == "queue":
+            kw["raster_queue"] = data
+        elif backend == "pallas" and isinstance(data, tuple):
+            kw["raster_cap"], kw["raster_spans"] = data
+        return kw
 
-            trace_warn(f"bin overflow at tick {tick:.2f}; re-binning")
-            key = state._scene_cache[0]
-            binning = pp.suggest_binning(scene, eye, w, h)
-            state._scene_cache = (key, scene, binning)
-            cap, spans = binning
-            fb, overflow = pp.render_frame(
-                scene, eye, tick, w=w, h=h, mode=state.mode,
-                per_pixel=state.per_pixel, shader_idx=state.shader_idx,
-                bg_idx=state.bg_idx, backend=state.backend, raster_cap=cap,
-                raster_spans=spans, return_overflow=True,
-            )
+    def render(self, state: RasterState, w: int, h: int, tick: float = 0.0):
+        eye = camera.camera_eye(mesh.mesh_camera(state.mesh_idx), tick)
+        scene, work = self._scene(state, w, h, eye)
+        t0 = time.perf_counter()
+        fb, stale = pp.render_frame(scene, eye, tick,
+                                    **self._frame_kwargs(state, work, w, h))
+        if bool(stale):
+            # Camera moved beyond the cached work structure (or the static
+            # bins overflowed): rebuild at this viewpoint and re-render.
+            # The reference's dynamic bins are exact by construction
+            # (rasterizer.rs:2115-2163); static shapes trade that for this
+            # loud rebuild.
+            from ..core.trace import trace_info
+
+            trace_info(f"raster structure stale at tick {tick:.2f}; rebuilding")
+            work = self._rebuild(state, scene, eye, w, h, work[0])
+            fb, stale = pp.render_frame(
+                scene, eye, tick, **self._frame_kwargs(state, work, w, h))
         jax.block_until_ready(fb)
         state.frame_times.push(time.perf_counter() - t0)
         return fb

@@ -280,6 +280,46 @@ def test_benchmark_table_matches_reference():
     assert len(SCENES) == 12
 
 
+class TestQueue:
+    """Flat-queue backend (ops/raster_queue.py) vs the verified bins path."""
+
+    def test_queue_matches_pallas_bit_exact(self):
+        scene = pp.make_scene(mesh.make_sphere(8, 16),
+                              cubemap.make_procedural_set())
+        eye = camera.cam_orbit(0.7)
+        queue = pp.build_scene_queue(scene, eye, W, H)
+        for ppx in (False, True):
+            kw = dict(w=W, h=H, shader_idx=5, show_cm=False, per_pixel=ppx)
+            a = np.asarray(pp.render_frame(scene, eye, 0.7,
+                                           backend="pallas", **kw))
+            b, stale = pp.render_frame(scene, eye, 0.7, backend="queue",
+                                       raster_queue=queue,
+                                       return_overflow=True, **kw)
+            assert not bool(stale)
+            assert np.array_equal(a, np.asarray(b)), f"per_pixel={ppx}"
+
+    def test_queue_stale_on_camera_jump(self):
+        scene = pp.make_scene(mesh.make_sphere(8, 16),
+                              cubemap.make_procedural_set())
+        queue = pp.build_scene_queue(scene, camera.cam_orbit(0.0), W, H)
+        # Opposite side of the orbit: tile coverage changes -> stale fires
+        _, stale = pp.render_frame(
+            scene, camera.cam_orbit(1.8), 1.8, w=W, h=H, shader_idx=0,
+            show_cm=False, backend="queue", raster_queue=queue,
+            return_overflow=True)
+        assert bool(stale)
+
+    def test_corner_transform_matches_indexed(self):
+        scene = pp.make_scene(mesh.make_sphere(8, 16),
+                              cubemap.make_procedural_set())
+        eye = jnp.asarray(camera.cam_orbit(0.3))
+        vp, _, nw = pp.transform_vertices(scene, eye, W, H)
+        vp_c, n_c = pp.transform_corners(scene, eye, W, H)
+        flat = np.asarray(scene.tris).reshape(-1)
+        assert np.array_equal(np.asarray(vp)[flat], np.asarray(vp_c))
+        assert np.array_equal(np.asarray(nw)[flat], np.asarray(n_c))
+
+
 def test_overflow_is_loud():
     # A deliberately tiny bin cap must not drop triangles silently: the
     # overflow flag fires, and the default (auto-sized) cap renders the
