@@ -41,14 +41,14 @@ TICK = 0.0
 REF_TOTAL_US = 27286  # rasterizer.rs:1829-1834
 
 
-FRAMES_PER_DISPATCH = 256
+FRAMES_PER_DISPATCH = 1024
 
 # Meshes below this triangle count raster faster through the [nT, cap]
 # tile-bin kernel (few big triangles cover most tiles, so the flat queue's
-# per-tile chunk padding and grid steps dominate); above it the queue wins
-# by an increasing margin (measured: killeroo 1.75 ms queue vs 4.6 ms bins;
-# cube 1.09 ms queue vs 0.22 ms bins).
-QUEUE_MIN_TRIS = 3000
+# per-tile chunk padding and grid steps dominate); above it the planar
+# queue wins (measured r2: cube 12 tris V 126 us bins vs 285 us queue;
+# cornell 2.2k V 399 us queue vs 732 us bins, torus 2.8k V 396 vs 858).
+QUEUE_MIN_TRIS = 1000
 
 
 def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "auto"):
@@ -142,7 +142,7 @@ def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
 # ---------------------------------------------------------------------------
 
 
-def bench_gol(generations_per_dispatch: int = 4096, runs: int = 3,
+def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
               n: int = 256, backend: str = "pallas"):
     """Generations/s on the n x n torus (reference: 256, gol.rs:8)."""
     import jax.numpy as jnp

@@ -44,9 +44,8 @@ TILE_H = 8
 TILE_W = 128
 CHUNK = 128
 
-# int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y pad
-# (padded to 12 so int rows keep the same width as raster_pallas)
-_I_CH = 12
+# int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y
+_I_CH = 11
 _F_CH = 7  # bias0 bias1 bias2 z0 z10 z20 inv_a2  (+ 3*(n2+n3) attr channels)
 
 
@@ -57,7 +56,10 @@ class Queue(NamedTuple):
     scal: jnp.ndarray       # i32 [S, 4] per-chunk (ty, tx, first, count)
     ranges: jnp.ndarray     # i32 [T, 4] binned tile ranges (ty0, ty1, tx0, tx1)
     built_valid: jnp.ndarray  # bool [T] triangle was front-facing at build
-    overflow: jnp.ndarray   # bool [] structure truncated (spans/S exceeded)
+    overflow: jnp.ndarray   # bool [] structure truncated (spans/S/tiles exceeded)
+    tiles: jnp.ndarray      # i32 [Tc] occupied flat tile ids; n_tiles = pad.
+    #                         Deferred shading runs on these tiles only —
+    #                         anything not listed has no coverage (background)
 
 
 def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
@@ -71,7 +73,7 @@ def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
 
 def build_queue(
     setup: TriSetup, h: int, w: int, *,
-    s_cap: int, m_y: int, m_x: int,
+    s_cap: int, m_y: int, m_x: int, t_cap: int | None = None,
     chunk: int = CHUNK, tile_h: int = TILE_H, tile_w: int = TILE_W,
 ) -> Queue:
     """Construct the flat queue from a frame's triangle setup.
@@ -83,7 +85,7 @@ def build_queue(
     """
     nty, ntx = h // tile_h, w // tile_w
     n_tiles = nty * ntx
-    T = setup.A.shape[0]
+    T = setup.valid.shape[0]
 
     ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
     span_y = ty1 - ty0 + 1
@@ -147,9 +149,22 @@ def build_queue(
         (total_chunks > s_cap)
         | jnp.any(setup.valid & ((span_y > m_y) | (span_x > m_x)))
     )
+
+    # Occupied-tile list for the compacted deferred-shade pass: pixels
+    # outside these tiles can have no coverage (no pairs touch them).
+    if t_cap is None or t_cap > n_tiles:
+        t_cap = n_tiles
+    occ = counts > 0
+    occ_n = jnp.sum(occ.astype(jnp.int32))
+    tid = jnp.arange(n_tiles, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(occ, tid, tid + n_tiles))[:t_cap]
+    tiles = jnp.where(jnp.arange(t_cap, dtype=jnp.int32) < occ_n,
+                      order, n_tiles)
+    overflow = overflow | (occ_n > t_cap)
+
     ranges = jnp.stack([ty0, ty1, tx0, tx1], axis=1)
     return Queue(ids=ids, scal=scal, ranges=ranges,
-                 built_valid=setup.valid, overflow=overflow)
+                 built_valid=setup.valid, overflow=overflow, tiles=tiles)
 
 
 def check_queue_valid(queue: Queue, setup: TriSetup,
@@ -169,33 +184,48 @@ def check_queue_valid(queue: Queue, setup: TriSetup,
     return ok & ~queue.overflow
 
 
-def pack_rows(setup: TriSetup, extra_f: jnp.ndarray):
-    """Per-triangle packed channel rows (gathered per pair each frame)."""
-    T = setup.A.shape[0]
-    zero = jnp.zeros((T, 1), jnp.int32)
-    packed_i = jnp.concatenate(
-        [setup.A[:, :2], setup.B[:, :2], setup.C[:, :2],
-         jnp.sum(setup.C, axis=1, keepdims=True),
-         setup.min_x[:, None], setup.min_y[:, None],
-         setup.max_x[:, None], setup.max_y[:, None], zero],
-        axis=1,
-    )
-    packed_f = jnp.concatenate(
-        [setup.bias, setup.z0[:, None], setup.z10[:, None],
-         setup.z20[:, None], setup.inv_a2[:, None], extra_f], axis=1)
-    return packed_i, packed_f
+def pack_table(setup, extra_f):
+    """Planar channel table [T, CH] for the per-frame pair gather.
+
+    `setup` is a TriSetupP (planar 1-D fields); `extra_f` is a list of [T]
+    f32 attribute channels in kernel order (base*n2, d10*n2, d20*n2, then
+    the 3w triples). Int channels are bitcast to f32 so ONE row gather
+    fetches everything; gather_rows bitcasts them back. Channel layout:
+    i[0..10] = A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y, then
+    f[0..6] = bias0 bias1 bias2 z0 z10 z20 inv_a2, then extras.
+    """
+    S = setup.C0 + setup.C1 + setup.C2
+    ichans = [setup.A0, setup.A1, setup.B0, setup.B1, setup.C0, setup.C1,
+              S, setup.min_x, setup.min_y, setup.max_x, setup.max_y]
+    fchans = [setup.bias0, setup.bias1, setup.bias2, setup.z0, setup.z10,
+              setup.z20, setup.inv_a2, *extra_f]
+    chans = [jax.lax.bitcast_convert_type(c, jnp.float32) for c in ichans]
+    chans += fchans
+    return jnp.stack(chans, axis=0).T  # [T, CH]
 
 
-def gather_rows(queue: Queue, packed_i, packed_f):
-    """Per-frame geometry refresh: one row gather per queue slot."""
+def gather_rows(queue: Queue, tabT):
+    """Per-frame geometry refresh: ONE row gather per queue slot.
+
+    Returns channel-major SMEM-ready arrays (rows_i [S, 11, chunk] i32,
+    rows_f [S, F, chunk] f32) — minor dim = chunk = 128 lanes, so nothing
+    pads (the old [S, chunk, CH] layout padded CH to 128 lanes and cost
+    ~716 us/frame at killeroo; this path is ~100 us).
+    """
     s_cap, chunk = queue.ids.shape
     flat = jnp.maximum(queue.ids.reshape(-1), 0)
-    rows_i = packed_i[flat].reshape(s_cap, chunk, packed_i.shape[1])
-    rows_f = packed_f[flat].reshape(s_cap, chunk, packed_f.shape[1])
+    rows = tabT[flat]                       # [S*chunk, CH]
+    rows = rows.T.reshape(tabT.shape[1], s_cap, chunk)
+    rows_i = jax.lax.bitcast_convert_type(rows[:_I_CH], jnp.int32)
+    rows_f = rows[_I_CH:]
     # Empty slots: force an empty AABB so in_box never admits a pixel.
-    empty = (queue.ids < 0)[..., None]
-    ch = jnp.arange(packed_i.shape[1], dtype=jnp.int32)[None, None, :]
-    rows_i = jnp.where(empty & (ch >= 9) & (ch <= 10), 0, rows_i)
+    empty = queue.ids < 0
+    rows_i = rows_i.at[9].set(jnp.where(empty, 0, rows_i[9]))
+    rows_i = rows_i.at[10].set(jnp.where(empty, 0, rows_i[10]))
+    # [S, CH, chunk]: Mosaic requires the 2nd-minor block dim to equal
+    # the array dim (CH) when it isn't a multiple of 8.
+    rows_i = rows_i.swapaxes(0, 1)
+    rows_f = rows_f.swapaxes(0, 1)
     return rows_i, rows_f
 
 
@@ -225,17 +255,17 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
             r[:] = jnp.zeros(shape2, jnp.float32)
 
     def one(p, slot_base):
-        A0 = rows_i_ref[0, p, 0]
-        A1 = rows_i_ref[0, p, 1]
-        B0 = rows_i_ref[0, p, 2]
-        B1 = rows_i_ref[0, p, 3]
-        C0 = rows_i_ref[0, p, 4]
-        C1 = rows_i_ref[0, p, 5]
-        S = rows_i_ref[0, p, 6]
-        mnx = rows_i_ref[0, p, 7]
-        mny = rows_i_ref[0, p, 8]
-        mxx = rows_i_ref[0, p, 9]
-        mxy = rows_i_ref[0, p, 10]
+        A0 = rows_i_ref[0, 0, p]
+        A1 = rows_i_ref[0, 1, p]
+        B0 = rows_i_ref[0, 2, p]
+        B1 = rows_i_ref[0, 3, p]
+        C0 = rows_i_ref[0, 4, p]
+        C1 = rows_i_ref[0, 5, p]
+        S = rows_i_ref[0, 6, p]
+        mnx = rows_i_ref[0, 7, p]
+        mny = rows_i_ref[0, 8, p]
+        mxx = rows_i_ref[0, 9, p]
+        mxy = rows_i_ref[0, 10, p]
 
         # Same integer edge math as the XLA oracle (28.4 fixed point,
         # third edge from e0+e1+e2 = S, sign-OR inside test).
@@ -244,25 +274,25 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
         e2 = S - e0 - e1
         inside = (e0 | e1 | e2) >= 0
         in_box = (xs >= mnx) & (ys >= mny) & (xs < mxx) & (ys < mxy)
-        inv_a2 = rows_f_ref[0, p, 6]
-        b0 = e0.astype(jnp.float32) * inv_a2 - rows_f_ref[0, p, 0]
-        b1 = e1.astype(jnp.float32) * inv_a2 - rows_f_ref[0, p, 1]
-        b2 = e2.astype(jnp.float32) * inv_a2 - rows_f_ref[0, p, 2]
-        zi = (rows_f_ref[0, p, 3] + rows_f_ref[0, p, 4] * b2
-              + rows_f_ref[0, p, 5] * b0)
+        inv_a2 = rows_f_ref[0, 6, p]
+        b0 = e0.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 0, p]
+        b1 = e1.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 1, p]
+        b2 = e2.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 2, p]
+        zi = (rows_f_ref[0, 3, p] + rows_f_ref[0, 4, p] * b2
+              + rows_f_ref[0, 5, p] * b0)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
 
         lins = []
         off = _F_CH
         for a in range(n2):
-            lins.append(rows_f_ref[0, p, off + a]
-                        + rows_f_ref[0, p, off + n2 + a] * b2
-                        + rows_f_ref[0, p, off + 2 * n2 + a] * b0)
+            lins.append(rows_f_ref[0, off + a, p]
+                        + rows_f_ref[0, off + n2 + a, p] * b2
+                        + rows_f_ref[0, off + 2 * n2 + a, p] * b0)
         off = _F_CH + 3 * n2
         for a in range(n3):
-            lins.append(rows_f_ref[0, p, off + a] * b1
-                        + rows_f_ref[0, p, off + n3 + a] * b2
-                        + rows_f_ref[0, p, off + 2 * n3 + a] * b0)
+            lins.append(rows_f_ref[0, off + a, p] * b1
+                        + rows_f_ref[0, off + n3 + a, p] * b2
+                        + rows_f_ref[0, off + 2 * n3 + a, p] * b0)
 
         upd = zm < z_ref[:]
         z_ref[:] = jnp.where(upd, zm, z_ref[:])
@@ -284,24 +314,25 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
     "n2", "n3", "h", "w", "chunk", "tile_h", "tile_w", "interleave",
     "interpret"))
 def raster_attrs_queue(
-    queue: Queue, setup: TriSetup, extra_f: jnp.ndarray, n2: int, n3: int,
+    queue: Queue, setup, extra_f, n2: int, n3: int,
     h: int, w: int, *, chunk: int = CHUNK, tile_h: int = TILE_H,
     tile_w: int = TILE_W, interleave: int = 2, interpret: bool | None = None,
 ):
     """Rasterize + interpolate attribute planes through the flat queue.
 
-    Returns (z, mask, lins tuple, stale) — `stale` is True when the cached
-    queue no longer covers this frame's geometry (or overflowed at build):
-    the caller must rebuild the queue and re-render.
+    `setup` is a TriSetupP; `extra_f` a list/tuple of 3*(n2+n3) planar [T]
+    attribute channels. Returns (z, mask, lins tuple, stale) — `stale` is
+    True when the cached queue no longer covers this frame's geometry (or
+    overflowed at build): the caller must rebuild the queue and re-render.
     """
     if h % tile_h or w % tile_w:
         raise ValueError(f"frame {h}x{w} not divisible by {tile_h}x{tile_w}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    assert extra_f.shape[1] == 3 * (n2 + n3)
+    assert len(extra_f) == 3 * (n2 + n3)
 
-    packed_i, packed_f = pack_rows(setup, extra_f)
-    rows_i, rows_f = gather_rows(queue, packed_i, packed_f)
+    tabT = pack_table(setup, extra_f)
+    rows_i, rows_f = gather_rows(queue, tabT)
     s_cap = queue.ids.shape[0]
     f_ch = _F_CH + 3 * (n2 + n3)
     n_planes = n2 + n3
@@ -310,9 +341,9 @@ def raster_attrs_queue(
         num_scalar_prefetch=1,
         grid=(s_cap,),
         in_specs=[
-            pl.BlockSpec((1, chunk, _I_CH), lambda c, scal: (c, 0, 0),
+            pl.BlockSpec((1, _I_CH, chunk), lambda c, scal: (c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, chunk, f_ch), lambda c, scal: (c, 0, 0),
+            pl.BlockSpec((1, f_ch, chunk), lambda c, scal: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             # slot-plane init (-1): aliased to the slot output; never read
             # inside the kernel, never fetched (ANY = stays in HBM), so
@@ -354,21 +385,25 @@ def raster_attrs_queue(
 
 
 def suggest_queue_config(setup_stats, margin: float = 1.3,
-                         chunk: int = CHUNK):
-    """Static (s_cap, m_y, m_x) from measured (chunks, span_y, span_x).
+                         tile_margin: float = 1.15, chunk: int = CHUNK):
+    """Static (s_cap, m_y, m_x, t_cap) from measured queue stats.
 
     The +1 span headroom and chunk margin absorb camera drift so cached
     structures can be rebuilt at nearby viewpoints without recompiling.
+    t_cap (occupied-tile capacity for the compacted shade) gets a smaller
+    margin — its cost scales the per-pixel cubemap gathers directly.
     """
-    total_chunks, sy, sx = setup_stats
+    total_chunks, sy, sx, occ_n = setup_stats
     s_cap = max(8, int(int(total_chunks) * margin) + 4)
-    return s_cap, int(sy) + 1, int(sx) + 1
+    t_cap = max(4, int(int(occ_n) * tile_margin) + 2)
+    return s_cap, int(sy) + 1, int(sx) + 1, t_cap
 
 
 def queue_stats(setup: TriSetup, h: int, w: int,
                 chunk: int = CHUNK, tile_h: int = TILE_H,
                 tile_w: int = TILE_W):
-    """(total chunk count, max span_y, max span_x) for suggest_queue_config."""
+    """(chunk count, max span_y, max span_x, occupied tiles) for
+    suggest_queue_config."""
     nty, ntx = h // tile_h, w // tile_w
     ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
     one = jnp.int32(1)
@@ -383,4 +418,5 @@ def queue_stats(setup: TriSetup, h: int, w: int,
     cov = cov_y[:, :, None] & cov_x[:, None, :] & setup.valid[:, None, None]
     counts = cov.reshape(-1, nty * ntx).sum(axis=0).astype(jnp.int32)
     total_chunks = jnp.sum(pl.cdiv(counts, chunk))
-    return total_chunks, jnp.max(span_y), jnp.max(span_x)
+    occ_n = jnp.sum((counts > 0).astype(jnp.int32))
+    return total_chunks, jnp.max(span_y), jnp.max(span_x), occ_n

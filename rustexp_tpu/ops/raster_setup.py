@@ -44,6 +44,110 @@ class TriSetup(NamedTuple):
     valid: jnp.ndarray    # bool [T] front-facing and non-empty AABB
 
 
+class TriSetupP(NamedTuple):
+    """Planar (structure-of-1-D-arrays) triangle setup — the queue-path form.
+
+    Same quantities as TriSetup but every field is a lane-major [T] vector:
+    [T, 3]-shaped fields cost ~20x their useful bandwidth on TPU (the minor
+    dim pads to 128 lanes), which made the stacked form ~300 us/frame at
+    24k triangles; this form is ~15 us. A2/B2/C2 are omitted — the kernel
+    derives e2 from the integer identity e0 + e1 + e2 = S = C0 + C1 + C2
+    (x/y gradients of the three edges sum to zero).
+    """
+
+    A0: jnp.ndarray       # i32 [T] edge-0 x-gradient (dy01)
+    A1: jnp.ndarray       # i32 [T] edge-1 x-gradient (dy12)
+    B0: jnp.ndarray       # i32 [T] edge-0 y-gradient (dx10)
+    B1: jnp.ndarray       # i32 [T] edge-1 y-gradient (dx21)
+    C0: jnp.ndarray       # i32 [T] edge-0 constant (biases folded)
+    C1: jnp.ndarray       # i32 [T]
+    C2: jnp.ndarray       # i32 [T] (kept for S and the oracle converter)
+    A2: jnp.ndarray       # i32 [T] edge-2 x-gradient (dy20)
+    B2: jnp.ndarray       # i32 [T] edge-2 y-gradient (dx02)
+    bias0: jnp.ndarray    # f32 [T] (e_add + 1) * inv_a2 per edge
+    bias1: jnp.ndarray    # f32 [T]
+    bias2: jnp.ndarray    # f32 [T]
+    inv_a2: jnp.ndarray   # f32 [T]
+    z0: jnp.ndarray       # f32 [T]
+    z10: jnp.ndarray      # f32 [T]
+    z20: jnp.ndarray      # f32 [T]
+    min_x: jnp.ndarray    # i32 [T] pixel AABB, [min, max), clipped
+    min_y: jnp.ndarray    # i32 [T]
+    max_x: jnp.ndarray    # i32 [T]
+    max_y: jnp.ndarray    # i32 [T]
+    valid: jnp.ndarray    # bool [T]
+
+    def to_trisetup(self) -> "TriSetup":
+        """Stacked [T, 3] view for the XLA oracle / bins kernel."""
+        return TriSetup(
+            A=jnp.stack([self.A0, self.A1, self.A2], axis=1),
+            B=jnp.stack([self.B0, self.B1, self.B2], axis=1),
+            C=jnp.stack([self.C0, self.C1, self.C2], axis=1),
+            bias=jnp.stack([self.bias0, self.bias1, self.bias2], axis=1),
+            inv_a2=self.inv_a2, z0=self.z0, z10=self.z10, z20=self.z20,
+            min_x=self.min_x, min_y=self.min_y,
+            max_x=self.max_x, max_y=self.max_y, valid=self.valid,
+        )
+
+
+def setup_triangles_planar(xs, ys, zs, w: int, h: int) -> TriSetupP:
+    """Corner-major planar form: xs/ys/zs f32 [3, T] viewport coordinates.
+
+    Identical arithmetic to setup_triangles_v per element (28.4 snap, fill
+    bias, sign-OR constants, AABB rounding — rasterizer.rs:1545-1634), but
+    on [T] lane-major vectors with no [T, k] intermediates anywhere.
+    """
+    xi = (xs * 16.0).astype(jnp.int32)
+    yi = (ys * 16.0).astype(jnp.int32)
+    x0, x1, x2 = xi[0], xi[1], xi[2]
+    y0, y1, y2 = yi[0], yi[1], yi[2]
+
+    dx10, dy01 = x1 - x0, y0 - y1
+    dx21, dy12 = x2 - x1, y1 - y2
+    dx02, dy20 = x0 - x2, y2 - y0
+
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    front = area2 > 0
+    inv_a2 = jnp.where(front, 1.0 / jnp.maximum(area2, 1).astype(jnp.float32),
+                       0.0)
+
+    def fill_bias(dy, dx):
+        return jnp.where((dy > 0) | ((dy == 0) & (dx > 0)), 1, 0).astype(
+            jnp.int32)
+
+    e0a = fill_bias(dy01, dx10)
+    e1a = fill_bias(dy12, dx21)
+    e2a = fill_bias(dy20, dx02)
+
+    C0 = x0 * y1 - y0 * x1 + e0a + 1
+    C1 = x1 * y2 - y1 * x2 + e1a + 1
+    C2 = x2 * y0 - y2 * x0 + e2a + 1
+
+    def min3(a, b, c):
+        return jnp.minimum(a, jnp.minimum(b, c))
+
+    def max3(a, b, c):
+        return jnp.maximum(a, jnp.maximum(b, c))
+
+    min_x = jnp.maximum((min3(x0, x1, x2) + 0xF) >> 4, 0)
+    min_y = jnp.maximum((min3(y0, y1, y2) + 0xF) >> 4, 0)
+    max_x = jnp.minimum((max3(x0, x1, x2) + 0xF) >> 4, w)
+    max_y = jnp.minimum((max3(y0, y1, y2) + 0xF) >> 4, h)
+
+    valid = front & (max_x > min_x) & (max_y > min_y)
+    z0 = zs[0]
+
+    return TriSetupP(
+        A0=dy01, A1=dy12, B0=dx10, B1=dx21, C0=C0, C1=C1, C2=C2,
+        A2=dy20, B2=dx02,
+        bias0=(e0a + 1).astype(jnp.float32) * inv_a2,
+        bias1=(e1a + 1).astype(jnp.float32) * inv_a2,
+        bias2=(e2a + 1).astype(jnp.float32) * inv_a2,
+        inv_a2=inv_a2, z0=z0, z10=zs[1] - z0, z20=zs[2] - z0,
+        min_x=min_x, min_y=min_y, max_x=max_x, max_y=max_y, valid=valid,
+    )
+
+
 def setup_triangles(vp: jnp.ndarray, tris: jnp.ndarray, w: int, h: int) -> TriSetup:
     """vp: f32 [V, 4] viewport-space vertices (x, y, z, 1/w); tris: i32 [T, 3]."""
     return setup_triangles_v(vp[tris[:, 0]], vp[tris[:, 1]], vp[tris[:, 2]],

@@ -65,14 +65,30 @@ class Scene(NamedTuple):
     c_pos: jnp.ndarray      # f32 [3T, 3] de-indexed corner positions
     c_nrm: jnp.ndarray      # f32 [3T, 3] de-indexed corner normals
     c_col: jnp.ndarray      # f32 [3T, 3] de-indexed corner baked colors
+    cp3: jnp.ndarray        # f32 [3, 4, T] corner-major homogeneous positions
+    cn3: jnp.ndarray        # f32 [3, 3, T] corner-major normals
+    cc3: jnp.ndarray        # f32 [3, 3, T] corner-major baked colors
 
 
 def make_scene(mesh, cm_set) -> Scene:
-    """Build a Scene from assets.mesh.MeshData + assets.cubemap.CubeMapSet."""
+    """Build a Scene from assets.mesh.MeshData + assets.cubemap.CubeMapSet.
+
+    The cp3/cn3/cc3 members are CORNER-MAJOR planar layouts (corner j,
+    component k, triangle t): every per-triangle quantity downstream is a
+    lane-major [T] vector. The [N, 3]-shaped c_* forms pad their minor dim
+    to 128 lanes on TPU (~20x wasted bandwidth) and cost ~1 ms/frame at
+    24k triangles through transform+setup; the planar forms make the whole
+    geometry stage ~100 us.
+    """
     ndim = mesh.normalize_dimensions()
     it33 = np.linalg.inv(ndim).T[:3, :3].astype(np.float32)
     tris = np.asarray(mesh.tris)
     flat = tris.reshape(-1)
+    pos = np.asarray(mesh.positions)
+    nrm = np.asarray(mesh.normals)
+    col = np.asarray(mesh.colors)
+    posh = np.concatenate([pos, np.ones((pos.shape[0], 1), np.float32)],
+                          axis=1)
     return Scene(
         positions=jnp.asarray(mesh.positions),
         normals=jnp.asarray(mesh.normals),
@@ -82,9 +98,12 @@ def make_scene(mesh, cm_set) -> Scene:
         it33=jnp.asarray(it33),
         cm=jnp.asarray(cm_set.data),
         cross=jnp.asarray(cm_set.cross),
-        c_pos=jnp.asarray(np.asarray(mesh.positions)[flat]),
-        c_nrm=jnp.asarray(np.asarray(mesh.normals)[flat]),
-        c_col=jnp.asarray(np.asarray(mesh.colors)[flat]),
+        c_pos=jnp.asarray(pos[flat]),
+        c_nrm=jnp.asarray(nrm[flat]),
+        c_col=jnp.asarray(col[flat]),
+        cp3=jnp.asarray(posh[tris].transpose(1, 2, 0)),
+        cn3=jnp.asarray(nrm[tris].transpose(1, 2, 0)),
+        cc3=jnp.asarray(col[tris].transpose(1, 2, 0)),
     )
 
 
@@ -181,6 +200,31 @@ def transform_vertices(scene: Scene, eye, w: int, h: int):
     vp = jnp.concatenate([clip[:, :3] * inv_w[:, None], inv_w[:, None]], axis=1)
     n_world = scene.normals @ scene.it33.T
     return vp, world, n_world
+
+
+def transform_corners_planar(scene: Scene, eye, w: int, h: int):
+    """Corner-major planar transform: no [N, k] intermediates anywhere.
+
+    Returns (xs, ys, zs, iw, n, world) with xs/ys/zs/iw f32 [3, T] viewport
+    coordinates per corner and n/world [3, 3, T] world-space normals /
+    positions. Same two-step matmul chain as transform_vertices
+    (mesh -> world via ndim, world -> viewport incl. the viewport-before-
+    divide quirk, rasterizer.rs:1181-1231), contracted along a 4-axis on
+    [3, 4, T] operands.
+    """
+    world_to_vp = (
+        viewport_matrix(w, h)
+        @ perspective(45.0, w / h, 0.1, 10.0)
+        @ look_at(eye, jnp.zeros(3, jnp.float32), jnp.array([0.0, 1.0, 0.0]))
+    )
+    world = jnp.einsum("ab,jbt->jat", scene.ndim, scene.cp3)     # [3, 4, T]
+    clip = jnp.einsum("ab,jbt->jat", world_to_vp, world)         # [3, 4, T]
+    iw = 1.0 / clip[:, 3]
+    xs = clip[:, 0] * iw
+    ys = clip[:, 1] * iw
+    zs = clip[:, 2] * iw
+    n = jnp.einsum("ab,jbt->jat", scene.it33, scene.cn3)         # [3, 3, T]
+    return xs, ys, zs, iw, n, world[:, :3]
 
 
 def transform_corners(scene: Scene, eye, w: int, h: int):
@@ -351,70 +395,112 @@ def raster_and_shade_queue(
     Returns (fb, stale): `stale` means the cached queue no longer covers
     this frame — rebuild it and re-render.
     """
-    from ..ops.raster_pallas import attr_channels_2mad, attr_channels_3w
     from ..ops.raster_queue import raster_attrs_queue
-    from ..ops.raster_setup import setup_triangles_v
+    from ..ops.raster_setup import setup_triangles_planar
 
-    vp_c, n_c = transform_corners(scene, eye, w, h)
+    xs, ys, zs, iw, n_c, world_c = transform_corners_planar(scene, eye, w, h)
+    setup = setup_triangles_planar(xs, ys, zs, w, h)
     T = scene.tris.shape[0]
-    v0, v1, v2 = vp_c[0::3], vp_c[1::3], vp_c[2::3]
-    setup = setup_triangles_v(v0, v1, v2, w, h)
-    iw0, iw1, iw2 = v0[:, 3], v1[:, 3], v2[:, 3]
-    ones = jnp.ones((T, 1), jnp.float32)
+    one = jnp.ones((T,), jnp.float32)
 
     if per_pixel:
-        c_col = scene.c_col  # static baked corners, zero gathers
+        cc = scene.cc3  # static baked corners, zero gathers
+        crows = [cc[0], cc[1], cc[2]]         # [3, T] each
     else:
-        c_col = colors[scene.tris.reshape(-1)]  # one flat [3T] row gather
+        # per-vertex shaded colors: one [T]-row gather per corner
+        crows = [colors[scene.tris[:, j]].T for j in range(3)]
 
-    def cat2(j):
-        return jnp.concatenate([ones, c_col[j::3]], axis=1)
+    def base_d(j):
+        return [one, crows[j][0], crows[j][1], crows[j][2]]
 
-    f2 = attr_channels_2mad(iw0, iw1, iw2, cat2(0), cat2(1), cat2(2))
+    # attr_channels_2mad in planar form: (base, d10, d20) per channel
+    base = [q * iw[0] for q in base_d(0)]
+    d10 = [q * iw[1] - b for q, b in zip(base_d(1), base)]
+    d20 = [q * iw[2] - b for q, b in zip(base_d(2), base)]
+    extra = base + d10 + d20
     n2, n3 = 4, 0
-    extra = f2
     if per_pixel:
         if ray_world:
-            f3 = attr_channels_3w(iw0, iw1, iw2, n_c[0::3], n_c[1::3],
-                                  n_c[2::3])
+            cat3 = [[n_c[j, k] for k in range(3)] for j in range(3)]
             n3 = 3
         else:
-            ones3 = jnp.ones((scene.c_pos.shape[0], 1), jnp.float32)
-            world_c = (jnp.concatenate([scene.c_pos, ones3], axis=1)
-                       @ scene.ndim.T)[:, :3]
-
-            def cat3(j):
-                return jnp.concatenate([world_c[j::3], n_c[j::3]], axis=1)
-
-            f3 = attr_channels_3w(iw0, iw1, iw2, cat3(0), cat3(1), cat3(2))
+            cat3 = [[world_c[j, k] for k in range(3)]
+                    + [n_c[j, k] for k in range(3)] for j in range(3)]
             n3 = 6
-        extra = jnp.concatenate([f2, f3], axis=1)
+        # attr_channels_3w planar: (q*iw0, q*iw1, q*iw2) triples
+        extra = extra + [q * iw[0] for q in cat3[0]] \
+            + [q * iw[1] for q in cat3[1]] + [q * iw[2] for q in cat3[2]]
 
-    z, mask, lin, stale = raster_attrs_queue(queue, setup, extra, n2, n3,
-                                             h, w)
-    wr = 1.0 / lin[0]
-
-    def ch_last(ps):
-        return jnp.stack([q * wr for q in ps], axis=-1)
-
-    c = ch_last(lin[1:4])
+    z, mask, lin, stale = raster_attrs_queue(queue, setup, tuple(extra),
+                                             n2, n3, h, w)
     if per_pixel:
-        if ray_world:
-            n = ch_last(lin[4:7])
-            M = inv_world_to_vp(eye, w, h)
-            xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-            ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-            p = jnp.stack(
-                [wr * (M[r, 0] * xs + M[r, 1] * ys + M[r, 2] * z + M[r, 3])
-                 for r in range(3)], axis=-1)
-        else:
-            p = ch_last(lin[4:7])
-            n = ch_last(lin[7:10])
-        out = sh.shader_fn(shader_idx)(p, n, c, eye, tick, scene.cm)
-    else:
-        out = c
-    packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
+        fb = _shade_compacted(queue, scene, z, mask, lin, eye, tick,
+                              shader_idx, bg_fb, w, h, ray_world)
+        return fb, stale
+
+    wr = 1.0 / lin[0]
+    c = jnp.stack([q * wr for q in lin[1:4]], axis=-1)
+    packed = pack_abgr32_gamma_arith(c[..., 0], c[..., 1], c[..., 2])
     return jnp.where(mask, packed, bg_fb), stale
+
+
+def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
+                     shader_idx: int, bg_fb, w: int, h: int, ray_world: bool):
+    """Deferred per-pixel shading over OCCUPIED tiles only.
+
+    The per-pixel cubemap lookups are row gathers at ~4.3 ns/index — the
+    single largest cost of a P frame when run over all w*h pixels. Pixels
+    outside the queue's occupied-tile list can have no coverage, so the
+    planes are compacted to [t_cap * tile_h, tile_w] via a row gather
+    (~1k indices), shaded there, and scattered back over the background.
+    At killeroo only ~37% of tiles are occupied: the gathers, shader math,
+    and gamma pack all shrink by ~2.7x. (The reference never shades
+    uncovered pixels either — its shader call sits inside the depth-test
+    branch, rasterizer.rs:1722-1744.)
+    """
+    from ..ops.raster_queue import TILE_H, TILE_W
+
+    nty, ntx = h // TILE_H, w // TILE_W
+    q = queue.tiles
+    pad = q >= nty * ntx
+    ty, tx = q // ntx, q % ntx
+    r = jnp.arange(TILE_H, dtype=jnp.int32)
+    rows = ((ty[:, None] * TILE_H + r[None, :]) * ntx
+            + tx[:, None]).reshape(-1)                      # [Tc*tile_h]
+    padr = jnp.repeat(pad, TILE_H)
+    rows_g = jnp.where(padr, 0, rows)
+
+    def comp(plane):
+        return plane.reshape(h * ntx, TILE_W)[rows_g]       # [Tc*8, 128]
+
+    maskc = comp(mask)
+    wrc = 1.0 / comp(lin[0])
+    cc = jnp.stack([comp(p_) * wrc for p_ in lin[1:4]], axis=-1)
+    if ray_world:
+        nc = jnp.stack([comp(p_) * wrc for p_ in lin[4:7]], axis=-1)
+        zc = comp(z)
+        yc = (rows_g // ntx).astype(jnp.float32)[:, None]
+        xc = ((rows_g % ntx) * TILE_W).astype(jnp.float32)[:, None] \
+            + jnp.arange(TILE_W, dtype=jnp.float32)[None, :]
+        M = inv_world_to_vp(eye, w, h)
+        pc = jnp.stack(
+            [wrc * (M[i, 0] * xc + M[i, 1] * yc + M[i, 2] * zc + M[i, 3])
+             for i in range(3)], axis=-1)
+    else:
+        pc = jnp.stack([comp(p_) * wrc for p_ in lin[4:7]], axis=-1)
+        nc = jnp.stack([comp(p_) * wrc for p_ in lin[7:10]], axis=-1)
+    out = sh.shader_fn(shader_idx)(pc, nc, cc, eye, tick, scene.cm)
+    packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
+
+    bgv = bg_fb.reshape(h * ntx, TILE_W)
+    merged = jnp.where(maskc, packed, bgv[rows_g])
+    rows_s = jnp.where(padr, h * ntx, rows)  # pads scatter out of bounds
+    # The barrier is load-bearing: XLA:TPU miscompiles the fusion of the
+    # compaction row-gathers + select + this scatter (whole occupied tiles
+    # came back black under jit; each op alone and the barriered form are
+    # correct). Keep the scatter out of the gather fusion.
+    merged = jax.lax.optimization_barrier(merged)
+    return bgv.at[rows_s].set(merged, mode="drop").reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -536,20 +622,26 @@ def suggest_binning(scene: Scene, eye, w: int, h: int, margin: float = 1.3):
 @partial(jax.jit, static_argnames=("w", "h"))
 def _queue_stats_jit(scene: Scene, eye, w: int, h: int):
     from ..ops.raster_queue import queue_stats
+    from ..ops.raster_setup import setup_triangles_planar
 
-    vp, _, _ = transform_vertices(scene, eye, w, h)
-    setup = setup_triangles(vp, scene.tris, w, h)
+    xs, ys, zs, _, _, _ = transform_corners_planar(scene, eye, w, h)
+    setup = setup_triangles_planar(xs, ys, zs, w, h)
     return queue_stats(setup, h, w)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "s_cap", "m_y", "m_x"))
+@partial(jax.jit, static_argnames=("w", "h", "s_cap", "m_y", "m_x", "t_cap"))
 def _build_queue_jit(scene: Scene, eye, w: int, h: int, s_cap: int,
-                     m_y: int, m_x: int):
+                     m_y: int, m_x: int, t_cap: int):
     from ..ops.raster_queue import build_queue
+    from ..ops.raster_setup import setup_triangles_planar
 
-    vp, _, _ = transform_vertices(scene, eye, w, h)
-    setup = setup_triangles(vp, scene.tris, w, h)
-    return build_queue(setup, h, w, s_cap=s_cap, m_y=m_y, m_x=m_x)
+    # The build MUST use the same planar setup as the per-frame path:
+    # a bitwise-different transform could snap a triangle into a tile the
+    # cached structure never enumerated.
+    xs, ys, zs, _, _, _ = transform_corners_planar(scene, eye, w, h)
+    setup = setup_triangles_planar(xs, ys, zs, w, h)
+    return build_queue(setup, h, w, s_cap=s_cap, m_y=m_y, m_x=m_x,
+                       t_cap=t_cap)
 
 
 def build_scene_queue(scene: Scene, eye, w: int, h: int,
@@ -564,9 +656,9 @@ def build_scene_queue(scene: Scene, eye, w: int, h: int,
 
     eye = jnp.asarray(eye, jnp.float32)
     stats = jax.device_get(_queue_stats_jit(scene, eye, w, h))
-    s_cap, m_y, m_x = suggest_queue_config(
+    s_cap, m_y, m_x, t_cap = suggest_queue_config(
         tuple(int(x) for x in stats), margin=margin)
-    return _build_queue_jit(scene, eye, w, h, s_cap, m_y, m_x)
+    return _build_queue_jit(scene, eye, w, h, s_cap, m_y, m_x, t_cap)
 
 
 def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
