@@ -70,10 +70,10 @@ def main():
     except Exception as e:
         print(f"# gol bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     try:
-        nb = bench_nbody(backend="morton")
-        result["nbody_morton_steps_per_s_131k"] = nb["value"]
+        nb = bench_nbody(backend="bh")
+        result["nbody_bh_steps_per_s_131k"] = nb["value"]
     except Exception as e:
-        print(f"# nbody morton bench failed: {type(e).__name__}: {e}",
+        print(f"# nbody bh bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
     try:
         nb = bench_nbody(backend="pallas", steps_per_dispatch=8)

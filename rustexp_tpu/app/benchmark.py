@@ -183,9 +183,9 @@ def bench_nbody(n: int = 131072, steps_per_dispatch: int = 16, runs: int = 3,
                 backend: str = "pallas", approx_recip: bool = True):
     """Brute-force O(N^2) steps/s (north-star config: N=131072).
 
-    backend "morton" benches the density-adaptive tree-code instead — the
-    analog of the reference's default Barnes-Hut theta=0.85 path (median
-    force error vs brute ~2-4%).
+    backend "bh" benches the block Barnes-Hut tree-code instead — the
+    analog of the reference's default Barnes-Hut theta=0.85 path
+    (ops/nbody_bh.py: p90 force error vs brute ~6% at this config).
     """
     import jax.numpy as jnp
     import numpy as np
@@ -198,11 +198,14 @@ def bench_nbody(n: int = 131072, steps_per_dispatch: int = 16, runs: int = 3,
 
     @jax.jit
     def run(px, py, vx, vy, m):
-        if backend == "morton":
-            from ..ops import nbody_morton
+        if backend == "bh":
+            from ..ops import nbody_bh
+
+            block = 256
+            kk = nbody_bh.theta_to_k(0.85, n // block)
 
             def mbody(c, _):
-                return nbody_morton.step_morton(*c), 0
+                return nbody_bh.step_bh(*c, block, kk), 0
             out, _ = jax.lax.scan(mbody, (px, py, vx, vy, m), None, length=k)
             return jnp.sum(out[0]) + jnp.sum(out[3])
 

@@ -1,0 +1,161 @@
+"""Block Barnes-Hut: the production approximate N-body step.
+
+TPU-native re-design of the reference's Barnes-Hut quadtree
+(nbody.rs:186-480). The reference builds a pointer quadtree and, per
+particle, opens nodes until ``s / d < theta`` (node width over distance,
+nbody.rs:342-346); opened subtrees bottom out in exact pair forces.
+Pointer trees and per-particle recursion are hostile to the TPU, so the
+same accuracy-vs-work dial is realized on a flat, static-shape structure:
+
+  1. sort particles by Morton (Z-order) code — spatial locality becomes
+     array locality, and EQUAL-COUNT blocks of the sorted array are
+     small where the distribution is dense, exactly like quadtree leaves;
+  2. per block: center of mass + AABB (the quadtree node aggregates,
+     nbody.rs:300-320);
+  3. NEAR FIELD (exact): for each target block, the K(theta) spatially
+     NEAREST source blocks by AABB distance get exact pair forces —
+     gathered block by block. Selecting neighbors spatially (not by
+     curve order) is what kills the round-1 Morton-seam outliers: a
+     touching block can never land in the far field;
+  4. FAR FIELD (approximate): every other block contributes its monopole
+     in one dense [N, B] sweep — MXU/VPU-friendly, no recursion.
+
+theta plays its reference role through K(theta) = ceil(6.5 / theta^2),
+matching Barnes-Hut's ~1/theta^2 work scaling in 2-D: theta 0.85 -> K=9
+(p90 force error vs brute 6% at N=131k stable orbits), theta 0.5 -> 26,
+theta -> 0 approaches all-exact; theta == 0 itself must be routed to
+brute force by the caller (nbody.rs:197-200). Smaller theta strictly
+grows the exact set, like the reference's deeper tree opening.
+
+Force law and integration match the reference exactly: unnormalized
+softened ``f = m1*m2 / (d^2 + EPS)`` (nbody.rs:164-184), explicit Euler
+(nbody.rs:150-161), and the runaway-velocity kill outside 0.55 * VP_WDH
+(nbody.rs:460-471). The step returns particles in Morton order —
+identity is irrelevant to physics and rendering, like the reference's
+per-step tree rebuild.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .nbody_forces import EPS
+
+VP_WDH = 100.0  # nbody.rs:13-15; kill bound is 0.55 * VP_WDH
+
+
+def _morton16(ix, iy):
+    """Interleave two <=15-bit ints into a (positive) int32 Z-order code."""
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(ix) | (spread(iy) << 1)
+
+
+def morton_sort(px, py, m, vx=None, vy=None, bits: int = 15):
+    """Sort the particle set by Z-order code; returns permuted arrays."""
+    x1, x2 = jnp.min(px), jnp.max(px)
+    y1, y2 = jnp.min(py), jnp.max(py)
+    scale = (1 << bits) - 1
+    ix = jnp.clip(((px - x1) / jnp.maximum(x2 - x1, 1e-12) * scale), 0, scale)
+    iy = jnp.clip(((py - y1) / jnp.maximum(y2 - y1, 1e-12) * scale), 0, scale)
+    code = _morton16(ix.astype(jnp.int32), iy.astype(jnp.int32))
+    order = jnp.argsort(code)
+    out = [px[order], py[order], m[order]]
+    if vx is not None:
+        out += [vx[order], vy[order]]
+    return out
+
+
+def theta_to_k(theta: float, n_blocks: int) -> int:
+    """Barnes-Hut work scaling in 2-D is ~1/theta^2; so is the exact set."""
+    if theta <= 0:
+        raise ValueError("theta == 0 is the brute-force route")
+    return max(2, min(n_blocks, int(-(-6.5 // (theta * theta)))))
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def forces_bh_sorted(px, py, m, block: int, k_near: int):
+    """Forces for MORTON-SORTED particles: K-nearest-block exact near
+    field + block-monopole far field. Returns (fx, fy) with the
+    reference's m1*m2 convention (fx already includes the target mass)."""
+    n = px.shape[0]
+    B = n // block
+    assert n % block == 0 and 1 < k_near <= B
+
+    xb = px.reshape(B, block)
+    yb = py.reshape(B, block)
+    mb = m.reshape(B, block)
+    msum = jnp.sum(mb, axis=1)
+    inv = 1.0 / jnp.maximum(msum, 1e-30)
+    cx = jnp.sum(xb * mb, axis=1) * inv
+    cy = jnp.sum(yb * mb, axis=1) * inv
+
+    # Block AABB distance matrix -> K nearest neighbors per target block
+    # (always includes itself: d = 0 on the diagonal).
+    x1 = xb.min(1); x2 = xb.max(1)
+    y1 = yb.min(1); y2 = yb.max(1)
+    ddx = jnp.maximum(0.0, jnp.maximum(x1[None, :] - x2[:, None],
+                                       x1[:, None] - x2[None, :]))
+    ddy = jnp.maximum(0.0, jnp.maximum(y1[None, :] - y2[:, None],
+                                       y1[:, None] - y2[None, :]))
+    idx = jnp.argsort(ddx * ddx + ddy * ddy, axis=1)[:, :k_near]  # [B, K]
+
+    # --- near field: exact pairs, one gathered source block at a time.
+    # Self-pairs (i == j inside the diagonal block) contribute exactly
+    # zero: dx = dy = 0 makes the softened force direction vanish, the
+    # same i != j behavior the reference gets by skipping its own tree
+    # entry (nbody.rs:365).
+    def body(k, acc):
+        fx, fy = acc
+        src = idx[:, k]
+        xs = xb[src]
+        ys = yb[src]
+        mss = mb[src]
+        dx = xs[:, None, :] - xb[:, :, None]                 # [B, tgt, src]
+        dy = ys[:, None, :] - yb[:, :, None]
+        r = mss[:, None, :] / (dx * dx + dy * dy + EPS)
+        return fx + jnp.sum(r * dx, axis=2), fy + jnp.sum(r * dy, axis=2)
+
+    fx, fy = jax.lax.fori_loop(
+        0, k_near, body, (jnp.zeros_like(xb), jnp.zeros_like(yb)))
+
+    # --- far field: monopoles of every block outside the near set
+    nearmask = jnp.zeros((B, B), bool).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], idx].set(True)
+    dxf = cx[None, :] - px[:, None]                          # [N, B]
+    dyf = cy[None, :] - py[:, None]
+    rf = msum[None, :] / (dxf * dxf + dyf * dyf + EPS)
+    rf = jnp.where(jnp.repeat(nearmask, block, axis=0), 0.0, rf)
+    fx = fx.reshape(n) + jnp.sum(rf * dxf, axis=1)
+    fy = fy.reshape(n) + jnp.sum(rf * dyf, axis=1)
+
+    return fx * m, fy * m
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def step_bh(px, py, vx, vy, m, block: int, k_near: int, dt=0.01):
+    """One Euler step: sort, block-BH forces, integrate, runaway kill.
+
+    Returns (px, py, vx, vy, m) in Morton order. The runaway kill zeroes
+    the velocity of particles beyond 0.55*VP_WDH from the origin on
+    either axis, applied after the position update (nbody.rs:460-471).
+    """
+    px, py, m, vx, vy = morton_sort(px, py, m, vx, vy)
+    fx, fy = forces_bh_sorted(px, py, m, block, k_near)
+    vx = vx + dt * fx / m
+    vy = vy + dt * fy / m
+    px = px + dt * vx
+    py = py + dt * vy
+    out = (jnp.abs(px) > VP_WDH * 0.55) | (jnp.abs(py) > VP_WDH * 0.55)
+    vx = jnp.where(out, 0.0, vx)
+    vy = jnp.where(out, 0.0, vy)
+    return px, py, vx, vy, m

@@ -16,7 +16,7 @@ Barnes-Hut path fans particle slices out to threads over a shared quadtree
   * forces_dense    — one [N, N] broadcast; oracle for small N.
   * forces_blocked  — lax.scan over target blocks, inner scan over source
                       blocks: O(N^2) FLOPs, O(B^2) memory; VPU-resident.
-  * grid tree-code  — see nbody_treecode.py (the Barnes-Hut substitute).
+  * block Barnes-Hut — see nbody_bh.py (the production approximate path).
 """
 
 from __future__ import annotations

