@@ -109,6 +109,20 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "auto"
     return best
 
 
+def _tinted(speedup: float, text: str) -> str:
+    """ANSI red/green outside the reference's +-1% tolerance band
+    (rasterizer.rs:1813-1883: faster = green, slower = red)."""
+    import sys
+
+    if not sys.stdout.isatty():
+        return text
+    if speedup >= 1.01:
+        return f"\x1b[32m{text}\x1b[0m"
+    if speedup <= 0.99:
+        return f"\x1b[31m{text}\x1b[0m"
+    return text
+
+
 def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
     """Run all 12 scenes; return the headline JSON dict for bench.py."""
     rows = []
@@ -121,12 +135,15 @@ def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
         us = best * 1e6
         rows.append((label, us, ref_us, ref_us / us))
         if verbose:
-            print(f"# {label:<12} {us:9.0f} us   ref {ref_us:6d} us   "
-                  f"speedup x{ref_us / us:6.2f}")
+            sp = ref_us / us
+            print(_tinted(sp, f"# {label:<12} {us:9.0f} us   ref "
+                              f"{ref_us:6d} us   speedup x{sp:6.2f}"))
     mpix_s = len(rows) * W * H / total_s / 1e6
     if verbose:
-        print(f"# total {total_s * 1e6:9.0f} us   ref {ref_total} us   "
-              f"speedup x{ref_total / (total_s * 1e6):.2f}   {mpix_s:.0f} Mpix/s")
+        sp = ref_total / (total_s * 1e6)
+        print(_tinted(sp, f"# total {total_s * 1e6:9.0f} us   ref "
+                          f"{ref_total} us   speedup x{sp:.2f}   "
+                          f"{mpix_s:.0f} Mpix/s"))
     return {
         "metric": "raster_suite_Mpix_per_s",
         "value": round(mpix_s, 1),

@@ -50,9 +50,11 @@ def main(argv=None):
     p.add_argument("--keys", default="", help="key events applied before the run "
                    "(reference keybindings, e.g. 'WWP' = next-next-mesh, per-pixel)")
     p.add_argument("--out", default="", help="PNG path prefix (writes <out>_NNN.png)")
-    p.add_argument("--overlay", action="store_true",
+    p.add_argument("--overlay", action="store_true", default=True,
                    help="burn the status line into each frame "
                         "(the reference's on-screen overlay, App.hs:106-129)")
+    p.add_argument("--no-overlay", dest="overlay", action="store_false",
+                   help="render frames without the burned-in status line")
     p.add_argument("--ticks-per-frame", type=float, default=1.0 / 60.0)
     p.add_argument("--runs", type=int, default=20, help="bench: timing runs per scene")
     args = p.parse_args(argv)

@@ -89,17 +89,27 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
     shot = 0
 
     sys.stdout.write("\x1b[2J")  # clear once
+    esc_armed = False  # double-ESC guard against accidental exit (App.hs:53-59)
+    vsync = True       # 'v' toggles the frame-rate cap (App.hs:63: vsync key)
     with _RawTerm() as term:
         while frames is None or frame < frames:
             tick = time.perf_counter() - t0
 
             key = term.poll_key()
-            if key == "\x1b":  # ESC exits ('q' belongs to the experiments)
-                break
+            if key == "\x1b":
+                if esc_armed:  # second consecutive ESC exits
+                    break
+                esc_armed = True
+            elif key:
+                esc_armed = False
+            if key == "\x1b":
+                pass
             elif key == "=":
                 cur = (cur + 1) % len(exps)
             elif key == "-":
                 cur = (cur - 1) % len(exps)
+            elif key == "v":
+                vsync = not vsync
             elif key and key != "t":  # 't' screenshots below, after render
                 if states[cur] is None:
                     states[cur] = exps[cur].init()
@@ -122,13 +132,18 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
                 write_png(path, rgb)
                 shot += 1
 
-            status = f"[{exp.name}] {exp.status(states[cur])}"[: size - 1]
+            status = f"[{exp.name}] {exp.status(states[cur])}"
+            if esc_armed:
+                status = "ESC again to exit | " + status
+            if not vsync:
+                status = "VSYNC OFF | " + status
+            status = status[: size - 1]
             sys.stdout.write("\x1b[H" + fb_to_ansi(rgb) + "\n\x1b[K" + status)
             sys.stdout.flush()
 
             frame += 1
             budget = frame / fps - (time.perf_counter() - t0)
-            if budget > 0:
+            if vsync and budget > 0:
                 time.sleep(budget)
     sys.stdout.write("\x1b[0m\n")
     return frame
