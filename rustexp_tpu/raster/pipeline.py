@@ -446,28 +446,24 @@ def raster_and_shade_queue(
 
 def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
                      shader_idx: int, bg_fb, w: int, h: int, ray_world: bool):
-    """Deferred per-pixel shading over OCCUPIED tiles only.
+    """Deferred per-pixel shading over OCCUPIED row-blocks only.
 
-    The per-pixel cubemap lookups are row gathers at ~4.3 ns/index — the
+    The per-pixel cubemap lookups are row gathers at ~2.6 ns/index — the
     single largest cost of a P frame when run over all w*h pixels. Pixels
-    outside the queue's occupied-tile list can have no coverage, so the
-    planes are compacted to [t_cap * tile_h, tile_w] via a row gather
-    (~1k indices), shaded there, and scattered back over the background.
-    At killeroo only ~37% of tiles are occupied: the gathers, shader math,
-    and gamma pack all shrink by ~2.7x. (The reference never shades
-    uncovered pixels either — its shader call sits inside the depth-test
-    branch, rasterizer.rs:1722-1744.)
+    outside the queue's occupied row-block list (pair-AABB y-extents per
+    tile, frozen at build) can have no coverage, so the planes are
+    compacted to [r_cap, tile_w] via a row gather (~1-2k indices), shaded
+    there, and scattered back over the background. At killeroo only ~25%
+    of row-blocks are occupied: the gathers, shader math, and gamma pack
+    all shrink accordingly. (The reference never shades uncovered pixels
+    either — its shader call sits inside the depth-test branch,
+    rasterizer.rs:1722-1744.)
     """
-    from ..ops.raster_queue import TILE_H, TILE_W
+    from ..ops.raster_queue import TILE_W
 
-    nty, ntx = h // TILE_H, w // TILE_W
-    q = queue.tiles
-    pad = q >= nty * ntx
-    ty, tx = q // ntx, q % ntx
-    r = jnp.arange(TILE_H, dtype=jnp.int32)
-    rows = ((ty[:, None] * TILE_H + r[None, :]) * ntx
-            + tx[:, None]).reshape(-1)                      # [Tc*tile_h]
-    padr = jnp.repeat(pad, TILE_H)
+    ntx = w // TILE_W
+    rows = queue.rows                                       # [Rc]
+    padr = rows >= h * ntx
     rows_g = jnp.where(padr, 0, rows)
 
     def comp(plane):
