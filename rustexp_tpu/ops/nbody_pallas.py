@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nbody_forces import EPS
 
-T_TILE = 512  # targets per grid step (lanes; multiple of 128)
+T_TILE = 1024  # targets per grid step (lanes; measured best: 59.4
+# ms/force at 131k vs 78 ms at 512 — fewer grid steps, same VPU work)
 
 
 def _kernel(xs_ref, ys_ref, ms_ref, xt_ref, yt_ref, fx_ref, fy_ref,
@@ -60,14 +61,17 @@ def _kernel(xs_ref, ys_ref, ms_ref, xt_ref, yt_ref, fx_ref, fy_ref,
     fy_ref[:] += jnp.sum(rm * dy, axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def forces_pallas(px, py, m, src_chunk: int = 1024, approx_recip: bool = False):
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def forces_pallas(px, py, m, src_chunk: int = 1024,
+                  approx_recip: bool = False, interpret: bool | None = None):
     """All-pairs forces. N must be a multiple of max(T_TILE, src_chunk).
 
     Returns (fx, fy) — full reference-law forces including the m_i factor.
     """
     n = px.shape[0]
     assert n % T_TILE == 0 and n % src_chunk == 0
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     xs = px.reshape(n, 1)
     ys = py.reshape(n, 1)
@@ -97,6 +101,7 @@ def forces_pallas(px, py, m, src_chunk: int = 1024, approx_recip: bool = False):
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
+        interpret=interpret,
     )(xs, ys, ms, xt, yt)
 
     return fx.reshape(n) * m, fy.reshape(n) * m

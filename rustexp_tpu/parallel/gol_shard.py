@@ -19,10 +19,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
-def make_multi_step(mesh: Mesh, axis: str = "rows", k: int = 1):
-    """Build a jitted k-generation step over a row-sharded [N, N] grid."""
+def axis_size(mesh: Mesh, axis) -> int:
+    """Total devices along a named axis or a tuple of axes.
 
-    n_dev = mesh.shape[axis]
+    Multi-host meshes name their axes ("dcn", "ici") and shard the long
+    grid/particle/band dimension over BOTH: JAX collectives accept the
+    tuple as one combined (row-major linearized) axis, so consecutive
+    shards are ICI neighbors and only the host-boundary ring edges cross
+    DCN — one inter-host hop per exchange, by construction.
+    """
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    out = 1
+    for a in axis:
+        out *= mesh.shape[a]
+    return out
+
+
+def make_multi_step(mesh: Mesh, axis="rows", k: int = 1):
+    """Build a jitted k-generation step over a row-sharded [N, N] grid.
+
+    `axis` may be one mesh axis name or a tuple like ("dcn", "ici") for
+    multi-host: the halo ppermute then rides ICI everywhere except the
+    two ring edges that fall on host boundaries.
+    """
+
+    n_dev = axis_size(mesh, axis)
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
@@ -53,5 +75,5 @@ def make_multi_step(mesh: Mesh, axis: str = "rows", k: int = 1):
     return jax.jit(step_k)
 
 
-def shard_grid(grid, mesh: Mesh, axis: str = "rows"):
+def shard_grid(grid, mesh: Mesh, axis="rows"):
     return jax.device_put(grid, NamedSharding(mesh, P(axis, None)))

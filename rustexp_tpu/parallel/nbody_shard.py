@@ -20,10 +20,13 @@ from jax.experimental.shard_map import shard_map
 from ..ops.nbody_forces import EPS
 
 
-def make_step(mesh: Mesh, axis: str = "p", dt: float = 0.01):
+def make_step(mesh: Mesh, axis="p", dt: float = 0.01):
     """Jitted brute-force Euler step over particle arrays sharded on `axis`.
 
-    Particle count must divide the mesh size.
+    Particle count must divide the mesh size. `axis` may be a tuple like
+    ("dcn", "ici") for multi-host meshes: the source all-gather is then
+    hierarchical (XLA gathers the ICI ring first, one DCN exchange per
+    host after), targets never move.
     """
 
     @partial(
@@ -55,6 +58,6 @@ def make_step(mesh: Mesh, axis: str = "p", dt: float = 0.01):
     return jax.jit(step)
 
 
-def shard_particles(arrs, mesh: Mesh, axis: str = "p"):
+def shard_particles(arrs, mesh: Mesh, axis="p"):
     s = NamedSharding(mesh, P(axis))
     return tuple(jax.device_put(a, s) for a in arrs)

@@ -37,7 +37,7 @@ def make_sharded_render(
     shader_idx: int = 5,
     bg_idx: int = 0,
     backend: str = "xla",
-    axis: str = "rows",
+    axis="rows",
     return_overflow: bool = False,
 ):
     """Build a jitted (scene, eye, tick) -> fb renderer sharded over `axis`.
@@ -48,7 +48,9 @@ def make_sharded_render(
     any-reduced bool: True if any device's bins overflowed and dropped
     triangles.
     """
-    n_dev = mesh.shape[axis]
+    from .gol_shard import axis_size
+
+    n_dev = axis_size(mesh, axis)
     if h % n_dev:
         raise ValueError(f"frame height {h} not divisible by {n_dev} devices")
     band_h = h // n_dev

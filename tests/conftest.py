@@ -18,9 +18,39 @@ if "xla_force_host_platform_device_count" not in _flags:
 # hits are impossible.
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/rustexp_tpu_xla_cache"))
+# The env var is NOT sufficient: the terminal's sitecustomize calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# which overrides JAX_PLATFORMS=cpu and silently puts "CPU" tests on the
+# remote TPU (collapsing the 8-device mesh to 1). Pin the config AFTER
+# that runs, and fail loudly if the pin didn't take.
+jax.config.update("jax_platforms", "cpu")
+
+# Key the cache dir by the host's CPU feature set: XLA:CPU AOT artifacts
+# embed machine features, and loading a cache populated on a different
+# host both warns ("machine type doesn't match") and can change fp
+# codegen — observed as 3-pixel diffs in an otherwise bit-exact test
+# after the terminal was re-provisioned onto different hardware.
+def _cpu_cache_dir():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = "".join(l for l in f if l.startswith("flags"))
+    except OSError:
+        flags = ""
+    import platform as _plat
+
+    key = hashlib.sha1((_plat.machine() + flags).encode()).hexdigest()[:10]
+    return os.path.expanduser(f"~/.cache/rustexp_tpu_xla_cache_{key}")
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}")
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {len(jax.devices())}")
 
 import pytest  # noqa: E402
 
