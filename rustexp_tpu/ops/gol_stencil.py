@@ -124,8 +124,8 @@ def _gol_pallas_kernel(steps_ref, grid_ref, out_ref, *, n: int):
     out_ref[:] = lax.fori_loop(0, steps % _UNROLL, lambda _, x: gen(x), g)
 
 
-@jax.jit
-def multi_step_pallas(grid, k):
+@partial(jax.jit, static_argnames=("interpret",))
+def multi_step_pallas(grid, k, interpret: bool | None = None):
     """k generations in one Pallas dispatch; k is a traced scalar (no recompile).
 
     VMEM must hold the grid and shift temporaries — fine up to ~1024x1024;
@@ -133,6 +133,8 @@ def multi_step_pallas(grid, k):
     """
     from functools import partial as _partial
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n = grid.shape[0]
     if n > 1024:
         raise ValueError(f"{n}x{n} grid exceeds the VMEM-resident kernel; "
@@ -146,5 +148,6 @@ def multi_step_pallas(grid, k):
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        interpret=interpret,
     )(jnp.asarray([k], dtype=jnp.int32), grid.astype(jnp.float32))
     return out.astype(grid.dtype)
