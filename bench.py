@@ -76,7 +76,7 @@ def main():
         print(f"# nbody bh bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
     try:
-        nb = bench_nbody(backend="pallas", steps_per_dispatch=8)
+        nb = bench_nbody(backend="pallas", steps_per_dispatch=32)
         result["nbody_brute_steps_per_s_131k"] = nb["value"]
     except Exception as e:
         print(f"# nbody brute bench failed: {type(e).__name__}: {e}",

@@ -196,7 +196,7 @@ def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
     }
 
 
-def bench_nbody(n: int = 131072, steps_per_dispatch: int = 16, runs: int = 3,
+def bench_nbody(n: int = 131072, steps_per_dispatch: int = 64, runs: int = 3,
                 backend: str = "pallas", approx_recip: bool = True):
     """Brute-force O(N^2) steps/s (north-star config: N=131072).
 

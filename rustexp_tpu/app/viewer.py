@@ -67,6 +67,43 @@ def _experiments():
     return [GoLExperiment(), NBodyExperiment(), RasterizerExperiment()]
 
 
+class SimWorker:
+    """Free-running sim thread — the reference's golWorker + MVar pattern
+    (RustGoLExperiment.hs:43-65, 96-108): a dedicated thread steps the
+    simulation as fast as the device allows while the render loop displays
+    the latest published state. The lock serializes step/read/key exactly
+    like the reference's MVar serializes Rust access; JAX dispatch releases
+    the GIL during device execution, so sim and ANSI presentation genuinely
+    overlap."""
+
+    def __init__(self, exp, state):
+        import threading
+
+        self.exp = exp
+        self._lock = threading.Lock()
+        self._state = state
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            with self._lock:
+                self._state = self.exp.step(self._state)
+
+    def read(self):
+        with self._lock:
+            return self._state
+
+    def key(self, k):
+        with self._lock:
+            self._state = self.exp.handle_key(self._state, k)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
 class _RawTerm:
     """Raw, non-blocking stdin for key polling; restores settings on exit."""
 
@@ -99,9 +136,17 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
     exps = _experiments()
     cur = start  # the reference starts on the rasterizer (App.hs:163)
     states = [None] * len(exps)
+    workers = [None] * len(exps)  # free-running sims (GoL: decoupled=True)
     t0 = time.perf_counter()
     frame = 0
     shot = 0
+
+    def ensure(i):
+        if states[i] is None:
+            states[i] = exps[i].init()
+        if workers[i] is None and getattr(exps[i], "decoupled", False):
+            workers[i] = SimWorker(exps[i], states[i])
+        return workers[i]
 
     sys.stdout.write("\x1b[2J")  # clear once
     esc_armed = False  # double-ESC guard against accidental exit (App.hs:53-59)
@@ -126,15 +171,20 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             elif key == "v":
                 vsync = not vsync
             elif key and key != "t":  # 't' screenshots below, after render
-                if states[cur] is None:
-                    states[cur] = exps[cur].init()
+                w_ = ensure(cur)
                 # Raw key: N-body's x/X and a/A bindings are case-sensitive
-                states[cur] = exps[cur].handle_key(states[cur], key)
+                if w_ is not None:
+                    w_.key(key)
+                else:
+                    states[cur] = exps[cur].handle_key(states[cur], key)
 
             exp = exps[cur]
-            if states[cur] is None:
-                states[cur] = exp.init()
-            states[cur] = exp.step(states[cur])
+            worker = ensure(cur)
+            if worker is not None:
+                # decoupled: read the free-running sim's latest state
+                states[cur] = worker.read()
+            else:
+                states[cur] = exp.step(states[cur])
             import inspect
 
             if "tick" in inspect.signature(exp.render).parameters:
@@ -160,6 +210,9 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             budget = frame / fps - (time.perf_counter() - t0)
             if vsync and budget > 0:
                 time.sleep(budget)
+    for w_ in workers:
+        if w_ is not None:
+            w_.stop()
     sys.stdout.write("\x1b[0m\n")
     return frame
 

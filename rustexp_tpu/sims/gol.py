@@ -2,9 +2,11 @@
 
 Reference: rs-src/gol.rs (sim + render) and hs-src/RustGoLExperiment.hs
 (driver). The reference decouples sim and render with a free-running worker
-thread serialized by an MVar (RustGoLExperiment.hs:43-65,96-108); here the
-analog is `steps_per_frame` generations fused into one on-device dispatch
-per rendered frame — no locks, no globals, state is an explicit pytree.
+thread serialized by an MVar (RustGoLExperiment.hs:43-65,96-108); here BOTH
+analogs exist: `steps_per_frame` generations fuse into one on-device
+dispatch per rendered frame, and the viewer runs the experiment in a
+free-running SimWorker thread (`decoupled = True` below; app/viewer.py)
+whose lock plays the MVar's role.
 """
 
 from __future__ import annotations
@@ -73,6 +75,7 @@ class GoLState:
 
 
 class GoLExperiment:
+    decoupled = True  # viewer runs the sim in a free-running worker thread
     name = "GoL"
 
     def init(self, pattern: str = "ark", seed: int = 0, steps_per_frame: int = 1,

@@ -101,3 +101,31 @@ def test_experiment_step_and_status():
     assert "Gens" in exp.status(st)
     st = exp.handle_key(st, "A")
     assert st.generations == 0
+
+
+def test_sim_worker_free_runs_and_serializes():
+    """app/viewer.py SimWorker — the golWorker+MVar analog
+    (RustGoLExperiment.hs:43-65,96-108): steps advance without the render
+    loop driving them; key events and reads serialize through the lock."""
+    import time
+
+    from rustexp_tpu.app.viewer import SimWorker
+    from rustexp_tpu.sims.gol import GoLExperiment
+
+    exp = GoLExperiment()
+    assert exp.decoupled
+    st = exp.init()
+    w = SimWorker(exp, st)
+    try:
+        deadline = time.time() + 10.0
+        while time.time() < deadline and w.read().generations < 3:
+            time.sleep(0.05)
+        assert w.read().generations >= 3
+        w.key("R")  # randomize through the lock
+        g0 = w.read().generations
+        assert np.asarray(w.read().grid).shape[0] > 0
+    finally:
+        w.stop()
+    n_after = w.read().generations
+    time.sleep(0.2)
+    assert w.read().generations == n_after  # stopped = no more stepping
