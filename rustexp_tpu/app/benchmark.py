@@ -40,6 +40,16 @@ ENV = 0     # Grace
 TICK = 0.0
 REF_TOTAL_US = 27286  # rasterizer.rs:1829-1834
 
+# Our own stored baseline (v5e-1, round 2) — the analog of the reference's
+# hardcoded table: regressions beyond +-1% of THESE numbers tint red in
+# the suite report, exactly like rasterizer.rs:1813-1883 does against its
+# author's machine. Refresh alongside BASELINE.md when perf work lands.
+TPU_REF_US = {
+    "KillerooV": 1059, "HeadV": 1554, "HandV": 345, "TorusKnotV": 384,
+    "CubeV": 133, "CornellBoxV": 382, "KillerooP": 1499, "HeadP": 2393,
+    "HandP": 838, "TorusKnotP": 1509, "CubeP": 1585, "CornellBoxP": 1577,
+}
+
 
 FRAMES_PER_DISPATCH = 1024
 
@@ -136,8 +146,10 @@ def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
         rows.append((label, us, ref_us, ref_us / us))
         if verbose:
             sp = ref_us / us
-            print(_tinted(sp, f"# {label:<12} {us:9.0f} us   ref "
-                              f"{ref_us:6d} us   speedup x{sp:6.2f}"))
+            own = TPU_REF_US.get(label, 0) / us if us else 0.0
+            print(_tinted(own, f"# {label:<12} {us:9.0f} us   ref "
+                               f"{ref_us:6d} us   speedup x{sp:6.2f}   "
+                               f"vs-r2 x{own:5.2f}"))
     mpix_s = len(rows) * W * H / total_s / 1e6
     if verbose:
         sp = ref_total / (total_s * 1e6)

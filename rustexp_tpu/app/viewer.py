@@ -90,8 +90,17 @@ class SimWorker:
         while not self._stop.is_set():
             with self._lock:
                 self._state = self.exp.step(self._state)
+            # Python locks are unfair: without a yield, the tight
+            # release/reacquire can starve the render thread's read()/key()
+            # for many iterations (a frame-rate collapse on few-core
+            # hosts). One ms costs the sim <5% at real step durations.
+            time.sleep(0.001)
 
     def read(self):
+        """Latest published state. NOTE: states are mutable dataclasses
+        stepped in place — treat the returned object as read-only and
+        consume it promptly (the render loop reads the device arrays it
+        needs within the same frame)."""
         with self._lock:
             return self._state
 

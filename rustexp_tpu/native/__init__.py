@@ -36,6 +36,16 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "rx_ansi_frame"):
+        # stale library from before a symbol was added: rebuild once
+        try:
+            subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            return None
+        if not hasattr(lib, "rx_ansi_frame"):
+            return None
 
     lib.rx_mesh_parse.restype = ctypes.c_long
     lib.rx_mesh_parse.argtypes = [
@@ -117,7 +127,10 @@ def ansi_frame(rgb8_topleft: np.ndarray):
         return None
     img = np.ascontiguousarray(rgb8_topleft, dtype=np.uint8)
     h, w, c = img.shape
-    assert c == 3 and h % 2 == 0
+    assert c == 3
+    if h % 2:  # drop the last row, matching the Python fallback's slicing
+        img = img[: h - 1]
+        h -= 1
     cap = 43 * w * (h // 2) + 8 * h + 16
     buf = ctypes.create_string_buffer(cap)
     n = lib.rx_ansi_frame(

@@ -42,9 +42,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .nbody_forces import EPS
-
-VP_WDH = 100.0  # nbody.rs:13-15; kill bound is 0.55 * VP_WDH
+from .nbody_forces import EPS, kill_runaway
 
 
 def _morton16(ix, iy):
@@ -155,7 +153,5 @@ def step_bh(px, py, vx, vy, m, block: int, k_near: int, dt=0.01):
     vy = vy + dt * fy / m
     px = px + dt * vx
     py = py + dt * vy
-    out = (jnp.abs(px) > VP_WDH * 0.55) | (jnp.abs(py) > VP_WDH * 0.55)
-    vx = jnp.where(out, 0.0, vx)
-    vy = jnp.where(out, 0.0, vy)
+    vx, vy = kill_runaway(px, py, vx, vy)
     return px, py, vx, vy, m

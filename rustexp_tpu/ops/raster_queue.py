@@ -43,6 +43,7 @@ from .raster_setup import TriSetup
 TILE_H = 8
 TILE_W = 128
 CHUNK = 128
+ROW_MARGIN = 8  # rows of camera-drift headroom baked into Queue.rows/ylim
 
 # int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y
 _I_CH = 11
@@ -61,6 +62,9 @@ class Queue(NamedTuple):
     #                         tile_w-wide pixel row: (y * w + x0) / tile_w);
     #                         h*ntx = pad. Deferred shading runs on these rows
     #                         only — anything not listed has no coverage
+    ylim: jnp.ndarray       # i32 [T, 2] per-triangle y-extent (with margin)
+    #                         the rows list was built from; check_queue_valid
+    #                         requires the frame's AABBs to stay inside it
 
 
 def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
@@ -156,18 +160,26 @@ def build_queue(
     # the y-extent of the pair AABBs landing in its tile — pixels outside
     # can have no coverage. Row granularity beats tile granularity by the
     # silhouette factor (measured ~25-35% fewer shaded pixels).
+    #
+    # Extents are expanded by ROW_MARGIN so the cached rows list survives
+    # small camera drift; check_queue_valid then requires every frame's
+    # triangle AABB to stay inside its built (expanded) y-extent — the
+    # tile-range check alone would let geometry drift onto rows the shade
+    # pass skips, leaving background holes with stale never firing.
     n_rb = h * ntx
     if t_cap is None or t_cap > n_rb:
         t_cap = n_rb
+    ymin_tri = jnp.maximum(setup.min_y - ROW_MARGIN, 0)
+    ymax_tri = jnp.minimum(setup.max_y + ROW_MARGIN, h)
     # per-tile y bounds over its pairs (scatter-min/max over the same
     # (triangle, dy, dx) enumeration that built the queue; `ok` masks the
     # beyond-span and backfacing entries by dropping their scatter index)
     scat_idx = jnp.where(ok, tile_id, n_tiles).reshape(-1)
     ymin_t = jnp.full((n_tiles,), h, jnp.int32).at[scat_idx].min(
-        jnp.broadcast_to(setup.min_y[:, None, None], tile_id.shape)
+        jnp.broadcast_to(ymin_tri[:, None, None], tile_id.shape)
         .reshape(-1), mode="drop")
     ymax_t = jnp.zeros((n_tiles,), jnp.int32).at[scat_idx].max(
-        jnp.broadcast_to(setup.max_y[:, None, None], tile_id.shape)
+        jnp.broadcast_to(ymax_tri[:, None, None], tile_id.shape)
         .reshape(-1), mode="drop")
     rb_tile = (jnp.arange(n_rb, dtype=jnp.int32) // ntx // tile_h) * ntx \
         + jnp.arange(n_rb, dtype=jnp.int32) % ntx
@@ -182,8 +194,10 @@ def build_queue(
     overflow = overflow | (occ_n > t_cap)
 
     ranges = jnp.stack([ty0, ty1, tx0, tx1], axis=1)
+    ylim = jnp.stack([ymin_tri, ymax_tri], axis=1)
     return Queue(ids=ids, scal=scal, ranges=ranges,
-                 built_valid=setup.valid, overflow=overflow, rows=rows)
+                 built_valid=setup.valid, overflow=overflow, rows=rows,
+                 ylim=ylim)
 
 
 def check_queue_valid(queue: Queue, setup: TriSetup,
@@ -197,7 +211,12 @@ def check_queue_valid(queue: Queue, setup: TriSetup,
     ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
     r = queue.ranges
     inside = ((ty0 >= r[:, 0]) & (ty1 <= r[:, 1])
-              & (tx0 >= r[:, 2]) & (tx1 <= r[:, 3]))
+              & (tx0 >= r[:, 2]) & (tx1 <= r[:, 3])
+              # y-extent within the built rows list's (expanded) bounds —
+              # tile containment alone is not enough: within-tile drift
+              # can cover rows the compacted shade pass would skip
+              & (setup.min_y >= queue.ylim[:, 0])
+              & (setup.max_y <= queue.ylim[:, 1]))
     ok = jnp.all(jnp.where(setup.valid,
                            inside & queue.built_valid, True))
     return ok & ~queue.overflow
@@ -440,10 +459,12 @@ def queue_stats(setup: TriSetup, h: int, w: int,
     covf = cov.reshape(-1, nty * ntx)
     counts = covf.sum(axis=0).astype(jnp.int32)
     total_chunks = jnp.sum(pl.cdiv(counts, chunk))
-    # occupied ROW-BLOCK count: per tile, the pair AABBs' y-extent clipped
-    # to the tile (same quantity build_queue freezes into Queue.rows)
-    ymin_t = jnp.min(jnp.where(covf, setup.min_y[:, None], h), axis=0)
-    ymax_t = jnp.max(jnp.where(covf, setup.max_y[:, None], 0), axis=0)
+    # occupied ROW-BLOCK count: per tile, the pair AABBs' y-extent (with
+    # the same ROW_MARGIN expansion build_queue bakes into Queue.rows)
+    ymin_t = jnp.min(jnp.where(covf, jnp.maximum(
+        setup.min_y - ROW_MARGIN, 0)[:, None], h), axis=0)
+    ymax_t = jnp.max(jnp.where(covf, jnp.minimum(
+        setup.max_y + ROW_MARGIN, h)[:, None], 0), axis=0)
     t_lo = (jnp.arange(nty * ntx, dtype=jnp.int32) // ntx) * tile_h
     rows_per_tile = jnp.clip(
         jnp.minimum(ymax_t, t_lo + tile_h) - jnp.maximum(ymin_t, t_lo),

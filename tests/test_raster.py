@@ -379,3 +379,30 @@ def test_fb_to_ansi():
     out = fb_to_ansi(rgb)
     assert out.count("▀") == 6  # 3 cols x 2 cell-rows
     assert "38;2;255;0;0" in out
+
+
+def test_queue_rows_cover_drifted_geometry():
+    """Regression (r2 code review): Queue.rows is frozen from build-time
+    pair-AABB y-extents; a frame whose geometry drifted WITHIN a tile must
+    either still be covered by the rows list (correct pixels) or flip
+    `stale` — never render background holes silently."""
+    scene = pp.make_scene(mesh.make_sphere(8, 16),
+                          cubemap.make_procedural_set())
+    base = np.asarray(camera.cam_orbit(0.2), np.float32)
+    queue = pp.build_scene_queue(scene, jnp.asarray(base), W, H)
+    # a slow orbit sweep: every frame either matches a fresh render exactly
+    # or declares itself stale (then a rebuilt queue must match)
+    for t in (0.2, 0.205, 0.21, 0.23, 0.3):
+        eye = jnp.asarray(camera.cam_orbit(t))
+        kw = dict(w=W, h=H, shader_idx=5, show_cm=False, per_pixel=True)
+        want = np.asarray(pp.render_frame(scene, eye, t, backend="xla", **kw))
+        got, stale = pp.render_frame(scene, eye, t, backend="queue",
+                                     raster_queue=queue,
+                                     return_overflow=True, **kw)
+        if bool(stale):
+            queue = pp.build_scene_queue(scene, eye, W, H)
+            got, stale = pp.render_frame(scene, eye, t, backend="queue",
+                                         raster_queue=queue,
+                                         return_overflow=True, **kw)
+            assert not bool(stale)
+        assert np.array_equal(np.asarray(got), want), f"t={t}"

@@ -62,7 +62,7 @@ def main(mesh_idx=1, mode="P"):
     eyes_g = jnp.broadcast_to(eye, (K, 3))
     queue = pp.build_scene_queue(scene, eye, W, H)
     print(f"mesh {mesh_idx} {mode} T={m.num_tris} s_cap={queue.ids.shape[0]} "
-          f"t_cap={queue.tiles.shape[0]}")
+          f"r_cap={queue.rows.shape[0]}")
     T = scene.tris.shape[0]
     one = jnp.ones((T,), jnp.float32)
     bg = pp.background(0, W, H)
