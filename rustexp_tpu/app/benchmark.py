@@ -45,9 +45,9 @@ REF_TOTAL_US = 27286  # rasterizer.rs:1829-1834
 # the suite report, exactly like rasterizer.rs:1813-1883 does against its
 # author's machine. Refresh alongside BASELINE.md when perf work lands.
 TPU_REF_US = {
-    "KillerooV": 1059, "HeadV": 1554, "HandV": 345, "TorusKnotV": 384,
-    "CubeV": 133, "CornellBoxV": 382, "KillerooP": 1499, "HeadP": 2393,
-    "HandP": 838, "TorusKnotP": 1509, "CubeP": 1585, "CornellBoxP": 1577,
+    "KillerooV": 1058, "HeadV": 1556, "HandV": 341, "TorusKnotV": 376,
+    "CubeV": 127, "CornellBoxV": 376, "KillerooP": 1522, "HeadP": 2728,
+    "HandP": 817, "TorusKnotP": 1517, "CubeP": 1235, "CornellBoxP": 1428,
 }
 
 

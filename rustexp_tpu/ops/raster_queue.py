@@ -43,7 +43,10 @@ from .raster_setup import TriSetup
 TILE_H = 8
 TILE_W = 128
 CHUNK = 128
-ROW_MARGIN = 8  # rows of camera-drift headroom baked into Queue.rows/ylim
+ROW_MARGIN = 2  # rows of camera-drift headroom baked into Queue.rows/ylim.
+# Margin rows are shaded every frame (up to 2*margin extra rows per tile:
+# margin 8 cost HeadP ~340 us, margin 4 ~170); 2 still absorbs 2 px of
+# drift before a rebuild — interactive orbits move <1 px/frame in y
 
 # int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y
 _I_CH = 11
