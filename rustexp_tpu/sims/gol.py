@@ -25,20 +25,22 @@ from ..ops import gol_stencil
 GRID_WDH = gol_stencil.GRID_WDH
 
 
-def randomize(key) -> jax.Array:
+def randomize(key, n: int = GRID_WDH) -> jax.Array:
     """Uniform random fill (reference gol_randomize, gol.rs:18-29)."""
-    return jax.random.bernoulli(key, 0.5, (GRID_WDH, GRID_WDH)).astype(jnp.uint8)
+    return jax.random.bernoulli(key, 0.5, (n, n)).astype(jnp.uint8)
 
 
-def set_pattern(pattern: np.ndarray) -> jax.Array:
-    """Center `pattern` on an empty grid (reference gol_set_pattern, gol.rs:200-225)."""
+def set_pattern(pattern: np.ndarray, n: int = GRID_WDH) -> jax.Array:
+    """Center `pattern` on an empty grid (reference gol_set_pattern,
+    gol.rs:200-225). The grid size is a config knob here — the reference
+    hardcodes 256 at compile time (gol.rs:8)."""
     h, w = pattern.shape
-    grid = np.zeros((GRID_WDH, GRID_WDH), dtype=np.uint8)
-    xoffs = GRID_WDH // 2 - w // 2
-    yoffs = GRID_WDH // 2 - h // 2
+    grid = np.zeros((n, n), dtype=np.uint8)
+    xoffs = n // 2 - w // 2
+    yoffs = n // 2 - h // 2
     ys, xs = np.nonzero(pattern)
     gy, gx = ys + yoffs, xs + xoffs
-    keep = (gy >= 0) & (gy < GRID_WDH) & (gx >= 0) & (gx < GRID_WDH)
+    keep = (gy >= 0) & (gy < n) & (gx >= 0) & (gx < n)
     grid[gy[keep], gx[keep]] = 1
     return jnp.asarray(grid)
 
@@ -50,17 +52,18 @@ def gol_render(grid, w_arr, h_arr):
     Background bytes = 64 -> 0x40404040; alive = 0x00FFFFFF, dead = 0.
     """
     h, w = h_arr.shape[0], w_arr.shape[0]
+    n = grid.shape[0]
     fb = jnp.full((h, w), jnp.uint32(0x40404040))
     cell = jnp.where(grid.astype(jnp.uint32) == 1, jnp.uint32(0x00FFFFFF), jnp.uint32(0))
-    xoffs = w // 2 - GRID_WDH // 2
-    yoffs = h // 2 - GRID_WDH // 2
-    if w >= GRID_WDH and h >= GRID_WDH:
+    xoffs = w // 2 - n // 2
+    yoffs = h // 2 - n // 2
+    if w >= n and h >= n:
         return jax.lax.dynamic_update_slice(fb, cell, (yoffs, xoffs))
     # Small-fb fallback: clip the centered blit (reference skips OOB pixels)
     ys = jnp.arange(h)[:, None] - yoffs
     xs = jnp.arange(w)[None, :] - xoffs
-    inside = (ys >= 0) & (ys < GRID_WDH) & (xs >= 0) & (xs < GRID_WDH)
-    vals = cell[jnp.clip(ys, 0, GRID_WDH - 1), jnp.clip(xs, 0, GRID_WDH - 1)]
+    inside = (ys >= 0) & (ys < n) & (xs >= 0) & (xs < n)
+    vals = cell[jnp.clip(ys, 0, n - 1), jnp.clip(xs, 0, n - 1)]
     return jnp.where(inside, vals, fb)
 
 
@@ -79,10 +82,11 @@ class GoLExperiment:
     name = "GoL"
 
     def init(self, pattern: str = "ark", seed: int = 0, steps_per_frame: int = 1,
+             n: int = GRID_WDH,
              backend: str = "mxu"):
         """Initial pattern 'ark' matches the reference (RustGoLExperiment.hs:54)."""
         key = jax.random.PRNGKey(seed)
-        grid = set_pattern(pattern_to_array(PATTERNS[pattern]))
+        grid = set_pattern(pattern_to_array(PATTERNS[pattern]), n)
         return GoLState(grid=grid, steps_per_frame=steps_per_frame, backend=backend, key=key)
 
     def step(self, state: GoLState) -> GoLState:
@@ -113,13 +117,14 @@ class GoLExperiment:
     def handle_key(self, state: GoLState, key: str) -> GoLState:
         """Keybindings per reference RustGoLExperiment.hs:78-91."""
         key = key.upper() if len(key) == 1 else key
+        n = int(state.grid.shape[0])
         if key == "R":
             state.key, sub = jax.random.split(state.key)
-            state.grid = randomize(sub)
+            state.grid = randomize(sub, n)
             state.generations = 0
         elif key in ("G", "A", "F", "K"):
             name = {"G": "gun", "A": "acorn", "F": "spacefill", "K": "ark"}[key]
-            state.grid = set_pattern(pattern_to_array(PATTERNS[name]))
+            state.grid = set_pattern(pattern_to_array(PATTERNS[name]), n)
             state.generations = 0
         elif key == "T":
             state.steps_per_frame = min(64, state.steps_per_frame * 2)

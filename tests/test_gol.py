@@ -129,3 +129,17 @@ def test_sim_worker_free_runs_and_serializes():
     n_after = w.read().generations
     time.sleep(0.2)
     assert w.read().generations == n_after  # stopped = no more stepping
+
+
+def test_configurable_grid_size():
+    """The reference hardcodes GRID_WDH=256 at compile time (gol.rs:8); here
+    grid size is an init config. Rule/render semantics are size-invariant."""
+    exp = gol.GoLExperiment()
+    st = exp.init(pattern="gun", n=128)
+    assert st.grid.shape == (128, 128)
+    st = exp.step(st)
+    assert st.grid.shape == (128, 128)
+    fb = np.asarray(exp.render(st, 256, 256))
+    assert fb.shape == (256, 256)
+    st = exp.handle_key(st, "R")
+    assert st.grid.shape == (128, 128)
