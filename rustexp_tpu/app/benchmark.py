@@ -146,10 +146,17 @@ def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
         rows.append((label, us, ref_us, ref_us / us))
         if verbose:
             sp = ref_us / us
-            own = TPU_REF_US.get(label, 0) / us if us else 0.0
-            print(_tinted(own, f"# {label:<12} {us:9.0f} us   ref "
-                               f"{ref_us:6d} us   speedup x{sp:6.2f}   "
-                               f"vs-r2 x{own:5.2f}"))
+            own_ref = TPU_REF_US.get(label)
+            if own_ref is None or not us:
+                # New scene with no stored own-baseline yet: no tint, no
+                # bogus x0.00 "regression".
+                print(f"# {label:<12} {us:9.0f} us   ref {ref_us:6d} us   "
+                      f"speedup x{sp:6.2f}   vs-own   -")
+            else:
+                own = own_ref / us
+                print(_tinted(own, f"# {label:<12} {us:9.0f} us   ref "
+                                   f"{ref_us:6d} us   speedup x{sp:6.2f}   "
+                                   f"vs-own x{own:5.2f}"))
     mpix_s = len(rows) * W * H / total_s / 1e6
     if verbose:
         sp = ref_total / (total_s * 1e6)

@@ -8,7 +8,8 @@ reference's keybindings work unchanged:
 
   global:  - / =  switch experiment (App.hs:65-66)   ESC quit
            t      screenshot PNG    (App.hs:60-62)
-  GoL:     r randomize, g gun, a acorn, f spacefill, k ark
+  GoL:     r randomize, g gun, a acorn, f spacefill, k ark,
+           T/Y steps-per-frame up/down (threads analog)
   N-body:  q orbits-10k, w disk-10k, e orbits-5, x/X dt, a/A theta
   Raster:  m mode, p per-pixel, q/w mesh, a/s shader, z/x envmap, 1/2 bg,
            b benchmark
@@ -83,11 +84,16 @@ class SimWorker:
         self._lock = threading.Lock()
         self._state = state
         self._stop = threading.Event()
+        self._running = threading.Event()
+        self._running.set()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         while not self._stop.is_set():
+            self._running.wait(timeout=0.5)
+            if not self._running.is_set():
+                continue  # paused: the current experiment owns the device
             with self._lock:
                 self._state = self.exp.step(self._state)
             # Python locks are unfair: without a yield, the tight
@@ -97,19 +103,31 @@ class SimWorker:
             time.sleep(0.001)
 
     def read(self):
-        """Latest published state. NOTE: states are mutable dataclasses
-        stepped in place — treat the returned object as read-only and
-        consume it promptly (the render loop reads the device arrays it
-        needs within the same frame)."""
+        """Immutable snapshot of the latest published state: a shallow
+        dataclass copy taken under the lock. Field values are jax arrays
+        (immutable), so the copy can be read at leisure while the worker
+        keeps rebinding fields on its own instance — no torn reads."""
+        import copy
+
         with self._lock:
-            return self._state
+            return copy.copy(self._state)
 
     def key(self, k):
         with self._lock:
             self._state = self.exp.handle_key(self._state, k)
 
+    def pause(self):
+        """Stop stepping (keeps state) — called when the viewer switches
+        away, so a background sim never contends for device dispatch with
+        the active experiment."""
+        self._running.clear()
+
+    def resume(self):
+        self._running.set()
+
     def stop(self):
         self._stop.set()
+        self._running.set()
         self._thread.join(timeout=5)
 
 
@@ -155,7 +173,16 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             states[i] = exps[i].init()
         if workers[i] is None and getattr(exps[i], "decoupled", False):
             workers[i] = SimWorker(exps[i], states[i])
+        elif workers[i] is not None:
+            workers[i].resume()
         return workers[i]
+
+    def switch(to):
+        # Pause the outgoing experiment's free-runner so it stops
+        # contending for device dispatch (resumed by ensure() on return).
+        if workers[cur] is not None:
+            workers[cur].pause()
+        return to % len(exps)
 
     sys.stdout.write("\x1b[2J")  # clear once
     esc_armed = False  # double-ESC guard against accidental exit (App.hs:53-59)
@@ -174,9 +201,9 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             if key == "\x1b":
                 pass
             elif key == "=":
-                cur = (cur + 1) % len(exps)
+                cur = switch(cur + 1)
             elif key == "-":
-                cur = (cur - 1) % len(exps)
+                cur = switch(cur - 1)
             elif key == "v":
                 vsync = not vsync
             elif key and key != "t":  # 't' screenshots below, after render

@@ -107,24 +107,27 @@ def draw_text(fb_u32, text: str, x: int = 4, y: int = 4,
 
     fb is bottom-left origin (core/framebuffer.py); `y` is the distance from
     the top edge, like the reference's overlay (App.hs:115-129). Returns a
-    new device array; accepts jnp or np input.
-    """
-    import jax.numpy as jnp
+    numpy array (callers present it next — PNG or ANSI — both host-side).
 
-    h, w = fb_u32.shape
+    Implementation note: this is PRESENTATION, so it runs on the HOST in
+    numpy. The earlier eager-jnp version re-dispatched (and, because the
+    text length changes the op shapes, re-COMPILED) per distinct status
+    string — ~190 s for one overlay through a remote-TPU tunnel. Pulling
+    the frame once and blitting in numpy is microseconds.
+    """
+    fb = np.asarray(fb_u32).copy()
+    h, w = fb.shape
     mask = text_mask(text)
     th, tw = mask.shape
     tw = min(tw, w - x)
     if tw <= 0 or th + y > h:
-        return fb_u32
-    mask = mask[:, :tw]
-    row0 = h - y - th  # flip to bottom-left rows
-    region = fb_u32[row0 : row0 + th, x : x + tw]
-    m = jnp.asarray(mask[::-1])  # flip rows to bottom-up
-    out = region
+        return fb
+    m = mask[::-1, :tw]  # flip rows to bottom-up
+    row0 = h - y - th    # flip to bottom-left rows
+    region = fb[row0 : row0 + th, x : x + tw]
     if bg is not None:
         # Dim the strip behind the text for readability (half intensity)
-        dimmed = (region >> 1) & jnp.uint32(0x7F7F7F7F)
-        out = dimmed
-    out = jnp.where(m, jnp.uint32(color), out)
-    return fb_u32.at[row0 : row0 + th, x : x + tw].set(out)
+        region = (region >> 1) & np.uint32(0x7F7F7F7F)
+    region = np.where(m, np.uint32(color), region)
+    fb[row0 : row0 + th, x : x + tw] = region
+    return fb

@@ -80,6 +80,30 @@ def theta_to_k(theta: float, n_blocks: int) -> int:
     return max(2, min(n_blocks, int(-(-6.5 // (theta * theta)))))
 
 
+def near_block_indices(x1, x2, y1, y2, k_near: int):
+    """K nearest source blocks per target block by AABB distance.
+
+    The diagonal is forced to sort FIRST (distance set to -1): AABB
+    distance is 0 for every overlapping block and a stable argsort breaks
+    ties by index, so in a dense core with > k_near zero-distance
+    neighbors a high-index block could otherwise demote ITSELF to the far
+    field — its particles would then feel a spurious monopole from their
+    own block's COM at near-zero softened distance, which the reference
+    can never produce (it skips self, nbody.rs:365). With the diagonal
+    pinned, self is always in the exact near set, where i == j pairs
+    contribute exactly zero.
+    """
+    ddx = jnp.maximum(0.0, jnp.maximum(x1[None, :] - x2[:, None],
+                                       x1[:, None] - x2[None, :]))
+    ddy = jnp.maximum(0.0, jnp.maximum(y1[None, :] - y2[:, None],
+                                       y1[:, None] - y2[None, :]))
+    d2 = ddx * ddx + ddy * ddy
+    B = d2.shape[0]
+    diag = jnp.arange(B, dtype=jnp.int32)
+    d2 = d2.at[diag, diag].set(-1.0)
+    return jnp.argsort(d2, axis=1)[:, :k_near]
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def forces_bh_sorted(px, py, m, block: int, k_near: int):
     """Forces for MORTON-SORTED particles: K-nearest-block exact near
@@ -97,15 +121,10 @@ def forces_bh_sorted(px, py, m, block: int, k_near: int):
     cx = jnp.sum(xb * mb, axis=1) * inv
     cy = jnp.sum(yb * mb, axis=1) * inv
 
-    # Block AABB distance matrix -> K nearest neighbors per target block
-    # (always includes itself: d = 0 on the diagonal).
+    # Block AABB distance matrix -> K nearest neighbors per target block.
     x1 = xb.min(1); x2 = xb.max(1)
     y1 = yb.min(1); y2 = yb.max(1)
-    ddx = jnp.maximum(0.0, jnp.maximum(x1[None, :] - x2[:, None],
-                                       x1[:, None] - x2[None, :]))
-    ddy = jnp.maximum(0.0, jnp.maximum(y1[None, :] - y2[:, None],
-                                       y1[:, None] - y2[None, :]))
-    idx = jnp.argsort(ddx * ddx + ddy * ddy, axis=1)[:, :k_near]  # [B, K]
+    idx = near_block_indices(x1, x2, y1, y2, k_near)  # [B, K]
 
     # --- near field: exact pairs, one gathered source block at a time.
     # Self-pairs (i == j inside the diagonal block) contribute exactly

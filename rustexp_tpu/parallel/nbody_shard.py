@@ -20,8 +20,12 @@ from jax.experimental.shard_map import shard_map
 from ..ops.nbody_forces import EPS
 
 
-def make_step(mesh: Mesh, axis="p", dt: float = 0.01):
+def make_step(mesh: Mesh, axis="p"):
     """Jitted brute-force Euler step over particle arrays sharded on `axis`.
+
+    Signature of the returned fn: (px, py, vx, vy, m, dt) — dt is a TRACED
+    (replicated) argument, so the reference's interactive X/x dt-doubling
+    keys (RustNBodyExperiment.hs:89-90) never trigger a recompile.
 
     Particle count must divide the mesh size. `axis` may be a tuple like
     ("dcn", "ici") for multi-host meshes: the source all-gather is then
@@ -32,10 +36,10 @@ def make_step(mesh: Mesh, axis="p", dt: float = 0.01):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
     )
-    def step(px, py, vx, vy, m):
+    def step(px, py, vx, vy, m, dt):
         # gather all sources over ICI; targets stay local
         sx = lax.all_gather(px, axis, tiled=True)
         sy = lax.all_gather(py, axis, tiled=True)

@@ -111,11 +111,20 @@ class GoLExperiment:
         gps = 1.0 / med if med > 0 else 0.0
         return (
             f"{GRID_WDH}x{GRID_WDH} Grid, {state.generations} Gens, "
-            f"{med * 1000:.2f}ms, GPS: {gps:.0f} | [R]nd [G]un [A]corn [F]ill ar[K]"
+            f"{med * 1000:.2f}ms, GPS: {gps:.0f}, x{state.steps_per_frame} | "
+            f"[R]nd [G]un [A]corn [F]ill ar[K] [T/Y]steps"
         )
 
     def handle_key(self, state: GoLState, key: str) -> GoLState:
-        """Keybindings per reference RustGoLExperiment.hs:78-91."""
+        """Keybindings per reference RustGoLExperiment.hs:78-91.
+
+        The reference's T/Shift-T pair steps its thread count 1-16; the
+        analog knob here is steps_per_frame (generations fused per
+        dispatch). A raw terminal delivers single chars with no modifier
+        state and lowercase 't' is the viewer's global screenshot key
+        (App.hs:60-62), so the pair is T = double / Y = halve (adjacent
+        key, case-folded like the other bindings).
+        """
         key = key.upper() if len(key) == 1 else key
         n = int(state.grid.shape[0])
         if key == "R":
@@ -128,6 +137,6 @@ class GoLExperiment:
             state.generations = 0
         elif key == "T":
             state.steps_per_frame = min(64, state.steps_per_frame * 2)
-        elif key == "Shift-T":
+        elif key == "Y":
             state.steps_per_frame = max(1, state.steps_per_frame // 2)
         return state

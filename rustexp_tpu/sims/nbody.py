@@ -232,13 +232,18 @@ class NBodyExperiment:
         )
 
     def handle_key(self, state: NBodyState, key: str) -> NBodyState:
-        """Keys per reference RustNBodyExperiment.hs:81-98."""
+        """Keys per reference RustNBodyExperiment.hs:81-98.
+
+        The reset keys are shift-insensitive like the reference's GLFW
+        Key'Q/W/E matches; only dt (x/X) and theta (a/A) use case to pick
+        the direction, which is why the viewer feeds raw keys here.
+        """
         state.key, sub = jax.random.split(state.key)
-        if key == "Q":
+        if key in ("Q", "q"):
             st = self.init(mode="orbits", n=10_000)
-        elif key == "W":
+        elif key in ("W", "w"):
             st = self.init(mode="disk", n=10_000)
-        elif key == "E":
+        elif key in ("E", "e"):
             st = self.init(mode="orbits", n=5, rmin=5.0, rmax=30.0)
         elif key == "X":
             state.dt *= 2.0

@@ -143,3 +143,52 @@ def test_configurable_grid_size():
     assert fb.shape == (256, 256)
     st = exp.handle_key(st, "R")
     assert st.grid.shape == (128, 128)
+
+
+def test_viewer_raw_key_routing_steps_per_frame():
+    """T doubles / Y halves steps_per_frame — both reachable from a raw
+    terminal (no modifier state; lowercase 't' is the global screenshot
+    key, so the decrease binding must be a distinct char). VERDICT r2 #6."""
+    from rustexp_tpu.sims.gol import GoLExperiment
+
+    exp = GoLExperiment()
+    st = exp.init()
+    assert st.steps_per_frame == 1
+    st = exp.handle_key(st, "T")
+    st = exp.handle_key(st, "T")
+    assert st.steps_per_frame == 4
+    st = exp.handle_key(st, "y")   # case-folded like the other bindings
+    assert st.steps_per_frame == 2
+    st = exp.handle_key(st, "Y")
+    assert st.steps_per_frame == 1
+    st = exp.handle_key(st, "Y")   # floor at 1
+    assert st.steps_per_frame == 1
+
+
+def test_sim_worker_snapshot_and_pause():
+    """read() must return a snapshot decoupled from the worker's live
+    instance, and pause() must stop stepping (ADVICE r2)."""
+    import time as _time
+
+    from rustexp_tpu.app.viewer import SimWorker
+    from rustexp_tpu.sims.gol import GoLExperiment
+
+    exp = GoLExperiment()
+    w = SimWorker(exp, exp.init(steps_per_frame=1))
+    try:
+        _time.sleep(0.05)
+        snap = w.read()
+        assert snap is not w._state or snap.generations == w._state.generations
+        g0 = snap.generations
+        _time.sleep(0.05)
+        assert snap.generations == g0  # snapshot does not advance
+        w.pause()
+        _time.sleep(0.05)
+        g1 = w.read().generations
+        _time.sleep(0.1)
+        assert w.read().generations == g1  # paused: no stepping
+        w.resume()
+        _time.sleep(0.2)
+        assert w.read().generations > g1
+    finally:
+        w.stop()

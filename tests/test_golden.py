@@ -108,11 +108,15 @@ def test_golden_nbody_orbits():
 
 
 # ---------------------------------------------------------------------------
-# Reference-scene goldens: the 12 bench scenes from the REAL assets
-# (rasterizer.rs:1791-1812 configs). Frozen by tools/gen_goldens.py on CPU;
-# these must exist in the repo — a missing golden is a failure, not a skip
-# (VERDICT r1: goldens must anchor to the reference's visual identity, not
-# to whatever the code under test produced on first run).
+# Bench-scene regression anchors: the 12 bench scenes from the REAL assets
+# (rasterizer.rs:1791-1812 configs), frozen by tools/gen_goldens.py from
+# THIS repo's XLA oracle backend. They pin the oracle's output so kernel /
+# pipeline changes can't silently shift the frames — they are NOT
+# independent evidence of parity with the Rust reference. Fidelity to the
+# reference rests on (a) the per-op reference-math tests (snap, fill
+# convention, gamma LUT, shader formulas) and (b) the independent scalar
+# C++ oracle cross-checks in test_ref_oracle.py / docs/PARITY.md.
+# A missing anchor is a failure, not a skip.
 # ---------------------------------------------------------------------------
 
 
@@ -135,7 +139,7 @@ def _render_bench_scene(label: str):
 def _check_ref(label: str, fb: np.ndarray):
     path = os.path.join(GOLDEN_DIR, f"ref_{label}.npz")
     assert os.path.exists(path), (
-        f"reference golden {path} missing — regenerate with "
+        f"bench-scene anchor {path} missing — regenerate with "
         f"`python tools/gen_goldens.py` and commit it")
     want = np.load(path)["fb"]
     diff = int((fb != want).sum())

@@ -50,10 +50,21 @@ def test_nbody_sharded_matches_single_device():
     want = nbody_forces.step_brute_force(px, py, vx, vy, m, 0, 0.01)
 
     mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("p",))
-    step = nbody_shard.make_step(mesh, dt=0.01)
-    got = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh))
+    step = nbody_shard.make_step(mesh)
+    got = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh),
+               jnp.float32(0.01))
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
+
+    # dt is traced: a different dt must NOT recompile (interactive X/x keys)
+    n_compiles = step._cache_size() if hasattr(step, "_cache_size") else None
+    got2 = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh),
+                jnp.float32(0.02))
+    want2 = nbody_forces.step_brute_force(px, py, vx, vy, m, 0, 0.02)
+    np.testing.assert_allclose(np.asarray(got2[0]), np.asarray(want2[0]),
+                               rtol=2e-4, atol=2e-4)
+    if n_compiles is not None:
+        assert step._cache_size() == n_compiles
 
 
 def test_raster_sharded_matches_single_device():
@@ -139,9 +150,10 @@ def test_nbody_sharded_multihost_mesh():
     m = jnp.asarray(rng.uniform(0.1, 1.5, n), jnp.float32)
     want = nbody_forces.step_brute_force(px, py, vx, vy, m, 0, 0.01)
     mesh = _mesh2()
-    step = nbody_shard.make_step(mesh, axis=("dcn", "ici"), dt=0.01)
+    step = nbody_shard.make_step(mesh, axis=("dcn", "ici"))
     got = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh,
-                                            axis=("dcn", "ici")))
+                                            axis=("dcn", "ici")),
+               jnp.float32(0.01))
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-4)
