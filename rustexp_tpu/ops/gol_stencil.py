@@ -96,7 +96,8 @@ def multi_step(grid, k: int, backend: str = "mxu"):
 _UNROLL = 16
 
 
-def _gol_pallas_kernel(steps_ref, grid_ref, out_ref, *, n: int):
+def _gol_pallas_kernel(steps_ref, grid_ref, out_ref, *, rows_n: int,
+                       cols_n: int):
     """Fused K generations, grid VMEM-resident, torus via pltpu.roll.
 
     The 8-neighbor sum is two separable passes of circular shifts on the
@@ -104,12 +105,18 @@ def _gol_pallas_kernel(steps_ref, grid_ref, out_ref, *, n: int):
     MXU is underfilled at 256 and the matmul pair costs ~3 us; rolls run
     the whole generation in ~3.3 us with 16x loop unrolling). pltpu.roll
     only takes non-negative shifts, hence n-1 for the -1 direction.
+
+    Rectangular [rows_n, cols_n] blocks are supported so the multi-chip
+    row-sharded path (parallel/gol_shard.py) can run this same kernel on
+    k-halo-padded local blocks: the y-torus wrap is then WRONG at the
+    block edges, but its contamination travels one row per generation and
+    the caller pads k rows per side, so the interior stays exact.
     """
     steps = steps_ref[0]
 
     def gen(g):
-        rows = g + pltpu.roll(g, 1, 0) + pltpu.roll(g, n - 1, 0)
-        nb = rows + pltpu.roll(rows, 1, 1) + pltpu.roll(rows, n - 1, 1) - g
+        rows = g + pltpu.roll(g, 1, 0) + pltpu.roll(g, rows_n - 1, 0)
+        nb = rows + pltpu.roll(rows, 1, 1) + pltpu.roll(rows, cols_n - 1, 1) - g
         alive = (nb == 3.0) | ((g == 1.0) & (nb == 2.0))
         return alive.astype(jnp.float32)
 
@@ -135,19 +142,19 @@ def multi_step_pallas(grid, k, interpret: bool | None = None):
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = grid.shape[0]
-    if n > 1024:
-        raise ValueError(f"{n}x{n} grid exceeds the VMEM-resident kernel; "
-                         "use multi_step")
+    rows_n, cols_n = grid.shape
+    if rows_n * cols_n > 1024 * 1024:
+        raise ValueError(f"{rows_n}x{cols_n} grid exceeds the VMEM-resident "
+                         "kernel; use multi_step")
     out = pl.pallas_call(
-        _partial(_gol_pallas_kernel, n=n),
+        _partial(_gol_pallas_kernel, rows_n=rows_n, cols_n=cols_n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_n, cols_n), jnp.float32),
         interpret=interpret,
     )(jnp.asarray([k], dtype=jnp.int32), grid.astype(jnp.float32))
     return out.astype(grid.dtype)

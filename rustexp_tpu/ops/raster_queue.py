@@ -251,25 +251,35 @@ def pack_table(setup, extra_f):
     return jnp.concatenate([tab, jnp.zeros((1, tab.shape[1]), jnp.float32)])
 
 
-def gather_rows(queue: Queue, tabT):
+def gather_rows(queue: Queue, tabT, return_flat: bool = False):
     """Per-frame geometry refresh: ONE row gather per queue slot.
 
     Returns channel-major SMEM-ready arrays (rows_i [S, 11, chunk] i32,
     rows_f [S, F, chunk] f32) — minor dim = chunk = 128 lanes, so nothing
     pads (the old [S, chunk, CH] layout padded CH to 128 lanes and cost
     ~716 us/frame at killeroo; this path is ~100 us).
+
+    With return_flat=True also returns rows_flat [S*chunk + 1, CH] f32 —
+    the pre-transpose slot-indexed table (int channels bitcast), with one
+    extra all-zero sentinel row at index S*chunk for empty-slot gathers.
+    The deferred shade pass re-fetches a WINNING pair's channels with a
+    single rows_flat[slot] gather.
     """
     s_cap, chunk = queue.ids.shape
     sentinel = tabT.shape[0] - 1  # all-zero row; empty AABB excludes pixels
     ids = queue.ids.reshape(-1)
     flat = jnp.where(ids < 0, sentinel, ids)
     rows = tabT[flat]                       # [S*chunk, CH]
-    rows = rows.T.reshape(tabT.shape[1], s_cap, chunk)
-    rows_i = jax.lax.bitcast_convert_type(rows[:_I_CH], jnp.int32)
-    rows_f = rows[_I_CH:]
+    rowsT = rows.T.reshape(tabT.shape[1], s_cap, chunk)
+    rows_i = jax.lax.bitcast_convert_type(rowsT[:_I_CH], jnp.int32)
+    rows_f = rowsT[_I_CH:]
     # [S, CH, chunk]: Mosaic requires the 2nd-minor block dim to equal
     # the array dim (CH) when it isn't a multiple of 8.
-    return rows_i.swapaxes(0, 1), rows_f.swapaxes(0, 1)
+    out = (rows_i.swapaxes(0, 1), rows_f.swapaxes(0, 1))
+    if return_flat:
+        zero = jnp.zeros((1, tabT.shape[1]), jnp.float32)
+        return out + (jnp.concatenate([rows, zero], axis=0),)
+    return out
 
 
 def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
@@ -351,6 +361,136 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
         return 0
 
     jax.lax.fori_loop(0, n_iters, body, 0)
+
+
+def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
+                        *, chunk: int, interleave: int, tile_h: int,
+                        tile_w: int):
+    """Defer-lin variant: per pair, only the depth race runs in-kernel.
+
+    Attribute planes are NOT interpolated here — the winning pair's slot id
+    is enough for the deferred shade pass to re-evaluate them (bit-equal:
+    same integer edge values, same float formula, evaluated once per pixel
+    instead of select+stored once per PAIR). Cuts the per-pair vector-op
+    count roughly in half for per-pixel scenes (ROADMAP lever #1).
+    """
+    c = pl.program_id(0)
+    ty = scal_ref[c, 0]
+    tx = scal_ref[c, 1]
+    first = scal_ref[c, 2]
+    cnt = scal_ref[c, 3]
+
+    shape2 = (tile_h, tile_w)
+    xs = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+    ys = ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    xf = xs << 4
+    yf = ys << 4
+
+    @pl.when(first == 1)
+    def _init():
+        z_ref[:] = jnp.ones(shape2, jnp.float32)
+        slot_ref[:] = jnp.full(shape2, -1, jnp.int32)
+
+    def one(p, slot_base):
+        A0 = rows_i_ref[0, 0, p]
+        A1 = rows_i_ref[0, 1, p]
+        B0 = rows_i_ref[0, 2, p]
+        B1 = rows_i_ref[0, 3, p]
+        C0 = rows_i_ref[0, 4, p]
+        C1 = rows_i_ref[0, 5, p]
+        S = rows_i_ref[0, 6, p]
+        mnx = rows_i_ref[0, 7, p]
+        mny = rows_i_ref[0, 8, p]
+        mxx = rows_i_ref[0, 9, p]
+        mxy = rows_i_ref[0, 10, p]
+
+        e0 = A0 * xf + B0 * yf + C0
+        e1 = A1 * xf + B1 * yf + C1
+        e2 = S - e0 - e1
+        inside = (e0 | e1 | e2) >= 0
+        in_box = (xs >= mnx) & (ys >= mny) & (xs < mxx) & (ys < mxy)
+        inv_a2 = rows_f_ref[0, 6, p]
+        b0 = e0.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 0, p]
+        b2 = e2.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 2, p]
+        zi = (rows_f_ref[0, 3, p] + rows_f_ref[0, 4, p] * b2
+              + rows_f_ref[0, 5, p] * b0)
+        zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
+
+        upd = zm < z_ref[:]
+        z_ref[:] = jnp.where(upd, zm, z_ref[:])
+        slot_ref[:] = jnp.where(upd, slot_base + p, slot_ref[:])
+
+    n_iters = jnp.clip(pl.cdiv(cnt, interleave), 0, chunk // interleave)
+
+    def body(i, _):
+        for k in range(interleave):
+            one(i * interleave + k, c * chunk)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "chunk", "tile_h", "tile_w", "interleave", "interpret"))
+def raster_zslot_queue(
+    queue: Queue, setup, extra_f, h: int, w: int, *, chunk: int = CHUNK,
+    tile_h: int = TILE_H, tile_w: int = TILE_W, interleave: int = 1,
+    interpret: bool | None = None,
+):
+    """Depth-race-only rasterization through the flat queue.
+
+    Returns (z, slot, rows_flat, stale): `slot` is the winning queue slot
+    per pixel (-1 = background), `rows_flat` [S*chunk + 1, CH] the
+    slot-indexed channel table (sentinel zero row last) for the deferred
+    shade pass to re-evaluate the winner's attribute planes.
+    """
+    if h % tile_h or w % tile_w:
+        raise ValueError(f"frame {h}x{w} not divisible by {tile_h}x{tile_w}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tabT = pack_table(setup, list(extra_f))
+    rows_i, rows_f, rows_flat = gather_rows(queue, tabT, return_flat=True)
+    s_cap = queue.ids.shape[0]
+    f_ch = rows_f.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_cap,),
+        in_specs=[
+            pl.BlockSpec((1, _I_CH, chunk), lambda c, scal: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, f_ch, chunk), lambda c, scal: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda c, scal: (scal[c, 0], scal[c, 1]),
+                         memory_space=pltpu.VMEM)
+        ] * 2,
+    )
+    hp = h + tile_h  # pad tile row for pad-chunk writes
+    out_shape = [jax.ShapeDtypeStruct((hp, w), jnp.float32),
+                 jax.ShapeDtypeStruct((hp, w), jnp.int32)]
+    kernel = functools.partial(
+        _queue_kernel_zslot, chunk=chunk, interleave=interleave,
+        tile_h=tile_h, tile_w=tile_w)
+
+    def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, z_ref, s_ref):
+        del slot_init_ref
+        kernel(scal_ref, ri_ref, rf_ref, z_ref, s_ref)
+
+    slot_init = jnp.full((hp, w), -1, jnp.int32)
+    z, slot = pl.pallas_call(
+        kernel_entry,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={3: 1},
+        interpret=interpret,
+    )(queue.scal, rows_i, rows_f, slot_init)
+    stale = ~check_queue_valid(queue, setup, tile_h, tile_w)
+    return z[:h], slot[:h], rows_flat, stale
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -90,15 +90,25 @@ class TriSetupP(NamedTuple):
         )
 
 
-def setup_triangles_planar(xs, ys, zs, w: int, h: int) -> TriSetupP:
+def setup_triangles_planar(xs, ys, zs, w: int, h: int,
+                           y_shift=0) -> TriSetupP:
     """Corner-major planar form: xs/ys/zs f32 [3, T] viewport coordinates.
 
     Identical arithmetic to setup_triangles_v per element (28.4 snap, fill
     bias, sign-OR constants, AABB rounding — rasterizer.rs:1545-1634), but
     on [T] lane-major vectors with no [T, k] intermediates anywhere.
+
+    `y_shift` (pixel rows, int) translates the frame AFTER the global
+    28.4 snap — the band-sharded renderer's translation trick. Subtracting
+    the shift from the FLOAT coordinate before snapping is NOT equivalent:
+    truncation is toward zero (Rust `as i32`), so a coordinate that the
+    translation moves across zero (e.g. global y 31.97 with a 32-row
+    shift) would snap to 0 locally but to -1 globally — a one-pixel
+    coverage flip at band boundaries. Snapping globally and translating
+    the integer keeps band rasterization bit-identical to the full frame.
     """
     xi = (xs * 16.0).astype(jnp.int32)
-    yi = (ys * 16.0).astype(jnp.int32)
+    yi = (ys * 16.0).astype(jnp.int32) - (jnp.int32(y_shift) << 4)
     x0, x1, x2 = xi[0], xi[1], xi[2]
     y0, y1, y2 = yi[0], yi[1], yi[2]
 
@@ -148,26 +158,32 @@ def setup_triangles_planar(xs, ys, zs, w: int, h: int) -> TriSetupP:
     )
 
 
-def setup_triangles(vp: jnp.ndarray, tris: jnp.ndarray, w: int, h: int) -> TriSetup:
+def setup_triangles(vp: jnp.ndarray, tris: jnp.ndarray, w: int, h: int,
+                    y_shift=0) -> TriSetup:
     """vp: f32 [V, 4] viewport-space vertices (x, y, z, 1/w); tris: i32 [T, 3]."""
     return setup_triangles_v(vp[tris[:, 0]], vp[tris[:, 1]], vp[tris[:, 2]],
-                             w, h)
+                             w, h, y_shift)
 
 
-def setup_triangles_v(v0, v1, v2, w: int, h: int) -> TriSetup:
+def setup_triangles_v(v0, v1, v2, w: int, h: int, y_shift=0) -> TriSetup:
     """Corner-array form: v0/v1/v2 f32 [T, 4] — no index gathers.
 
     Preferred on TPU: gathers cost ~5-8 ns per index, so de-indexed corner
     arrays (Scene.c_*) beat per-frame vp[tris[:, i]] gathers by ~0.5 ms on a
     24k-triangle mesh.
+
+    `y_shift`: integer post-snap frame translation (see
+    setup_triangles_planar — float-side translation breaks trunc-to-zero
+    parity at band boundaries).
     """
     # 28.4 fixed point, truncating like the reference's `as i32`
+    sh = jnp.int32(y_shift) << 4
     x0 = (v0[:, 0] * 16.0).astype(jnp.int32)
-    y0 = (v0[:, 1] * 16.0).astype(jnp.int32)
+    y0 = (v0[:, 1] * 16.0).astype(jnp.int32) - sh
     x1 = (v1[:, 0] * 16.0).astype(jnp.int32)
-    y1 = (v1[:, 1] * 16.0).astype(jnp.int32)
+    y1 = (v1[:, 1] * 16.0).astype(jnp.int32) - sh
     x2 = (v2[:, 0] * 16.0).astype(jnp.int32)
-    y2 = (v2[:, 1] * 16.0).astype(jnp.int32)
+    y2 = (v2[:, 1] * 16.0).astype(jnp.int32) - sh
 
     dx10, dy01 = x1 - x0, y0 - y1
     dx21, dy12 = x2 - x1, y1 - y2

@@ -36,12 +36,28 @@ def axis_size(mesh: Mesh, axis) -> int:
     return out
 
 
-def make_multi_step(mesh: Mesh, axis="rows", k: int = 1):
+def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
+                    backend: str = "roll"):
     """Build a jitted k-generation step over a row-sharded [N, N] grid.
 
     `axis` may be one mesh axis name or a tuple like ("dcn", "ici") for
     multi-host: the halo ppermute then rides ICI everywhere except the
     two ring edges that fall on host boundaries.
+
+    backend "roll": one-row halo exchange per generation, stencil via
+    jnp.roll — the semantics oracle.
+
+    backend "pallas": the PRODUCTION single-chip kernel (fused VMEM rolls,
+    ops/gol_stencil.multi_step_pallas, 0.8 us/gen at 256^2) runs on a
+    k-HALO-PADDED local block: each shard ppermutes its k edge rows once,
+    runs all k generations locally with zero further communication, and
+    slices the interior back out. The kernel's y-torus wrap is wrong at
+    the padded edges, but wrong values travel inward one row per
+    generation and k rows of padding absorb exactly k generations — the
+    interior is bit-exact (VERDICT r2 #5: multi-chip GoL must not lose
+    the fused-kernel rate; reference analog gol.rs:115-167). Communication
+    cost: one 2k-row exchange per k generations instead of 2 rows per
+    generation.
     """
 
     n_dev = axis_size(mesh, axis)
@@ -63,16 +79,33 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1):
                 nb = nb + jnp.roll(rows, dx, axis=1)
         return ((nb == 3) | ((g == 1) & (nb == 2))).astype(g.dtype)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None),),
-        out_specs=P(axis, None),
-    )
-    def step_k(local):
+    def step_k_roll(local):
         return lax.fori_loop(0, k, lambda i, g: one_step(g), local)
 
-    return jax.jit(step_k)
+    def step_k_pallas(local):
+        from ..ops import gol_stencil
+
+        r = local.shape[0]
+        if k > r * (n_dev - 1):
+            # halo deeper than the rest of the torus would wrap around
+            raise ValueError(f"k={k} too deep for {r}-row shards")
+        halo = min(k, r)
+        # k-deep halos in one exchange (k <= r: one neighbor each way
+        # suffices; deeper k would chain ppermutes)
+        lo = lax.ppermute(local[-halo:, :], axis, fwd)
+        hi = lax.ppermute(local[:halo, :], axis, bwd)
+        if halo < k:  # need rows from further neighbors
+            raise ValueError(f"k={k} exceeds shard rows {r}; lower k")
+        padded = jnp.concatenate([lo, local, hi], axis=0)  # [r+2k, N]
+        out = gol_stencil.multi_step_pallas(padded, jnp.int32(k))
+        return lax.dynamic_slice_in_dim(out, halo, r, axis=0)
+
+    body = step_k_pallas if backend == "pallas" else step_k_roll
+    # check_rep off: pallas_call outputs carry no varying-mesh-axes info
+    step = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
+                     out_specs=P(axis, None),
+                     check_rep=backend != "pallas")
+    return jax.jit(step)
 
 
 def shard_grid(grid, mesh: Mesh, axis="rows"):

@@ -62,6 +62,113 @@ def make_step(mesh: Mesh, axis="p"):
     return jax.jit(step)
 
 
+def make_step_bh(mesh: Mesh, axis="p", block: int = 256, k_near: int = 9):
+    """Multi-chip block Barnes-Hut — the PRODUCTION approximate step.
+
+    VERDICT r2 #3b: the sharded N-body previously covered brute force
+    only; this shards ops/nbody_bh.step_bh (the analog of the reference's
+    default Barnes-Hut path, nbody.rs:186-480, fanned out per particle
+    slice at nbody.rs:424-478).
+
+    Decomposition per step, per device:
+      1. all-gather the (Morton-unsorted) particle shards — one 2.6 MB
+         exchange at N=131k over ICI;
+      2. REPLICATED global Morton sort + per-block aggregates + K-nearest
+         AABB selection (identical on every device; O(N log N) —
+         negligible beside the force sweeps, and replicating it avoids a
+         distributed sort);
+      3. LOCAL force evaluation for this device's contiguous slice of
+         target blocks only (exact K-near pairs + [n_loc, B] monopole far
+         field — the O(N·B + N·K·block) bulk, split 1/D);
+      4. local Euler update + runaway kill (nbody.rs:451-471).
+
+    Returns (px, py, vx, vy, m) sharded on `axis`, globally Morton-sorted
+    (the concatenation of local slices IS the sorted order, so the result
+    matches single-device step_bh exactly).
+
+    Signature of the returned fn: (px, py, vx, vy, m, dt) — dt traced.
+    """
+    from ..ops.nbody_bh import morton_sort, near_block_indices
+    from ..ops.nbody_forces import EPS, kill_runaway
+    from .gol_shard import axis_size
+
+    n_dev = axis_size(mesh, axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    )
+    def step(pxs, pys, vxs, vys, ms, dt):
+        # 1. gather the full particle set
+        px = lax.all_gather(pxs, axis, tiled=True)
+        py = lax.all_gather(pys, axis, tiled=True)
+        vx = lax.all_gather(vxs, axis, tiled=True)
+        vy = lax.all_gather(vys, axis, tiled=True)
+        m = lax.all_gather(ms, axis, tiled=True)
+        n = px.shape[0]
+        B = n // block
+        nb_loc = B // n_dev
+        assert n % block == 0 and B % n_dev == 0
+
+        # 2. replicated sort + aggregates (identical on every device)
+        px, py, m, vx, vy = morton_sort(px, py, m, vx, vy)
+        xb = px.reshape(B, block)
+        yb = py.reshape(B, block)
+        mb = m.reshape(B, block)
+        msum = jnp.sum(mb, axis=1)
+        inv = 1.0 / jnp.maximum(msum, 1e-30)
+        cx = jnp.sum(xb * mb, axis=1) * inv
+        cy = jnp.sum(yb * mb, axis=1) * inv
+        idx = near_block_indices(xb.min(1), xb.max(1), yb.min(1), yb.max(1),
+                                 k_near)                     # [B, K]
+
+        # 3. local target slice: contiguous blocks [b0, b0 + nb_loc)
+        dev = lax.axis_index(axis)
+        b0 = dev * nb_loc
+        xt = lax.dynamic_slice_in_dim(xb, b0, nb_loc, 0)     # [nb, block]
+        yt = lax.dynamic_slice_in_dim(yb, b0, nb_loc, 0)
+        idx_loc = lax.dynamic_slice_in_dim(idx, b0, nb_loc, 0)
+
+        def body(k, acc):
+            fx, fy = acc
+            src = idx_loc[:, k]
+            xs_ = xb[src]
+            ys_ = yb[src]
+            mss = mb[src]
+            dx = xs_[:, None, :] - xt[:, :, None]            # [nb, tgt, src]
+            dy = ys_[:, None, :] - yt[:, :, None]
+            r = mss[:, None, :] / (dx * dx + dy * dy + EPS)
+            return fx + jnp.sum(r * dx, axis=2), fy + jnp.sum(r * dy, axis=2)
+
+        fx, fy = lax.fori_loop(0, k_near, body,
+                               (jnp.zeros_like(xt), jnp.zeros_like(yt)))
+
+        nearmask = jnp.zeros((nb_loc, B), bool).at[
+            jnp.arange(nb_loc, dtype=jnp.int32)[:, None], idx_loc].set(True)
+        n_loc = nb_loc * block
+        pxl = xt.reshape(n_loc)
+        pyl = yt.reshape(n_loc)
+        dxf = cx[None, :] - pxl[:, None]                     # [n_loc, B]
+        dyf = cy[None, :] - pyl[:, None]
+        rf = msum[None, :] / (dxf * dxf + dyf * dyf + EPS)
+        rf = jnp.where(jnp.repeat(nearmask, block, axis=0), 0.0, rf)
+        ml = lax.dynamic_slice_in_dim(m, b0 * block, n_loc, 0)
+        fxl = (fx.reshape(n_loc) + jnp.sum(rf * dxf, axis=1)) * ml
+        fyl = (fy.reshape(n_loc) + jnp.sum(rf * dyf, axis=1)) * ml
+
+        # 4. Euler + runaway kill on the local slice (nbody.rs:150-161,460-471)
+        vxl = lax.dynamic_slice_in_dim(vx, b0 * block, n_loc, 0) + dt * fxl / ml
+        vyl = lax.dynamic_slice_in_dim(vy, b0 * block, n_loc, 0) + dt * fyl / ml
+        pxl = pxl + dt * vxl
+        pyl = pyl + dt * vyl
+        vxl, vyl = kill_runaway(pxl, pyl, vxl, vyl)
+        return pxl, pyl, vxl, vyl, ml
+
+    return jax.jit(step)
+
+
 def shard_particles(arrs, mesh: Mesh, axis="p"):
     s = NamedSharding(mesh, P(axis))
     return tuple(jax.device_put(a, s) for a in arrs)

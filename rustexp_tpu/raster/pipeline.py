@@ -377,7 +377,7 @@ def raster_and_shade_pallas(
 def raster_and_shade_queue(
     scene: Scene, queue, colors, eye, tick,
     *, w: int, h: int, per_pixel: bool, shader_idx: int, bg_fb,
-    ray_world: bool = True,
+    ray_world: bool = True, defer: bool = False,
 ):
     """Flat-queue Fill path (ops/raster_queue.py) — the round-2 fast path.
 
@@ -392,10 +392,20 @@ def raster_and_shade_queue(
     `colors` is the per-unique-vertex shaded colors in V mode, or None in
     per-pixel mode (baked corner colors are static).
 
+    `defer=True` routes through the z/slot-only kernel + per-winner
+    re-evaluation (_shade_deferred) — bit-identical output, but MEASURED
+    SLOWER on v5e (KillerooP 3.0 ms vs 1.55 ms): the kernel itself drops
+    1067 -> 722 us (it is SMEM-scalar-read bound at ~1 ns/read, and the
+    z-race needs 17 reads/pair vs 38), but the per-pixel winner re-fetch
+    is a ~39-channel row gather at ~0.5 ns/element — ~2.3 ms at killeroo
+    coverage. Per-pixel gathers lose to per-pair vector select+stores by
+    ~1000x per element on this hardware; the flag is kept as the measured
+    record and because a sparsecore-bearing part would change the verdict.
+
     Returns (fb, stale): `stale` means the cached queue no longer covers
     this frame — rebuild it and re-render.
     """
-    from ..ops.raster_queue import raster_attrs_queue
+    from ..ops.raster_queue import raster_attrs_queue, raster_zslot_queue
     from ..ops.raster_setup import setup_triangles_planar
 
     xs, ys, zs, iw, n_c, world_c = transform_corners_planar(scene, eye, w, h)
@@ -431,6 +441,14 @@ def raster_and_shade_queue(
         extra = extra + [q * iw[0] for q in cat3[0]] \
             + [q * iw[1] for q in cat3[1]] + [q * iw[2] for q in cat3[2]]
 
+    if defer:
+        z, slot, rows_flat, stale = raster_zslot_queue(
+            queue, setup, tuple(extra), h, w)
+        fb = _shade_deferred(queue, scene, z, slot, rows_flat, n2, n3, eye,
+                             tick, shader_idx, bg_fb, w, h, per_pixel,
+                             ray_world)
+        return fb, stale
+
     z, mask, lin, stale = raster_attrs_queue(queue, setup, tuple(extra),
                                              n2, n3, h, w)
     if per_pixel:
@@ -444,8 +462,101 @@ def raster_and_shade_queue(
     return jnp.where(mask, packed, bg_fb), stale
 
 
+def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
+                    eye, tick, shader_idx: int, bg_fb, w: int, h: int,
+                    per_pixel: bool, ray_world: bool):
+    """Deferred shading from (z, slot): re-evaluate the WINNING pair only.
+
+    The depth-race kernel (ops/raster_queue.raster_zslot_queue) stores no
+    attribute planes; this pass compacts (z, slot) to the occupied
+    row-blocks, gathers each pixel's winning-pair channel row with ONE
+    rows_flat[slot] gather, and re-evaluates edges -> barycentrics ->
+    attribute planes with exactly the kernel's formulas on exactly the
+    same integers — bit-identical output to the select+store path, at
+    one evaluation per PIXEL instead of one per PAIR (ROADMAP lever #1).
+    """
+    from ..ops.raster_queue import TILE_W, _F_CH, _I_CH
+
+    ntx = w // TILE_W
+    rows = queue.rows                                       # [Rc]
+    padr = rows >= h * ntx
+    rows_g = jnp.where(padr, 0, rows)
+
+    def comp(plane):
+        return plane.reshape(h * ntx, TILE_W)[rows_g]       # [Rc, 128]
+
+    slotc = comp(slot)
+    maskc = slotc >= 0
+    sentinel = rows_flat.shape[0] - 1
+    sg = jnp.where(maskc, slotc, sentinel).reshape(-1)
+    px_rows = rows_flat[sg]                                 # [Rc*128, CH]
+    Rc = rows_g.shape[0]
+
+    def fch(k):  # float channel k as [Rc, 128]
+        return px_rows[:, _I_CH + k].reshape(Rc, TILE_W)
+
+    def ich(k):  # int channel k
+        return jax.lax.bitcast_convert_type(
+            px_rows[:, k].reshape(Rc, TILE_W), jnp.int32)
+
+    # Pixel coordinates of the compacted rows (global frame space)
+    yc_i = (rows_g // ntx).astype(jnp.int32)[:, None]
+    xc_i = ((rows_g % ntx) * TILE_W).astype(jnp.int32)[:, None] \
+        + jnp.arange(TILE_W, dtype=jnp.int32)[None, :]
+    xf = xc_i << 4
+    yf = yc_i << 4
+
+    # Same integer edge math as the kernel (28.4 fixed point)
+    e0 = ich(0) * xf + ich(2) * yf + ich(4)
+    e1 = ich(1) * xf + ich(3) * yf + ich(5)
+    e2 = ich(6) - e0 - e1
+    inv_a2 = fch(6)
+    b0 = e0.astype(jnp.float32) * inv_a2 - fch(0)
+    b1 = e1.astype(jnp.float32) * inv_a2 - fch(1)
+    b2 = e2.astype(jnp.float32) * inv_a2 - fch(2)
+
+    lins = []
+    off = _F_CH
+    for a in range(n2):
+        lins.append(fch(off + a) + fch(off + n2 + a) * b2
+                    + fch(off + 2 * n2 + a) * b0)
+    off = _F_CH + 3 * n2
+    for a in range(n3):
+        lins.append(fch(off + a) * b1 + fch(off + n3 + a) * b2
+                    + fch(off + 2 * n3 + a) * b0)
+
+    wrc = 1.0 / lins[0]
+    cc = jnp.stack([p_ * wrc for p_ in lins[1:4]], axis=-1)
+    if per_pixel:
+        if ray_world:
+            nc = jnp.stack([p_ * wrc for p_ in lins[4:7]], axis=-1)
+            zc = comp(z)
+            M = inv_world_to_vp(eye, w, h)
+            xcf = xc_i.astype(jnp.float32)
+            ycf = jnp.broadcast_to(yc_i.astype(jnp.float32), (Rc, TILE_W))
+            pc = jnp.stack(
+                [wrc * (M[i, 0] * xcf + M[i, 1] * ycf + M[i, 2] * zc + M[i, 3])
+                 for i in range(3)], axis=-1)
+        else:
+            pc = jnp.stack([p_ * wrc for p_ in lins[4:7]], axis=-1)
+            nc = jnp.stack([p_ * wrc for p_ in lins[7:10]], axis=-1)
+        out = sh.shader_fn(shader_idx)(pc, nc, cc, eye, tick, scene.cm)
+    else:
+        out = cc  # vertices were pre-shaded; colors only interpolate
+    packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
+
+    bgv = bg_fb.reshape(h * ntx, TILE_W)
+    merged = jnp.where(maskc, packed, bgv[rows_g])
+    rows_s = jnp.where(padr, h * ntx, rows)  # pads scatter out of bounds
+    # Same load-bearing barrier as _shade_compacted: keep the scatter out
+    # of the gather+select fusion (XLA:TPU miscompile, tested).
+    merged = jax.lax.optimization_barrier(merged)
+    return bgv.at[rows_s].set(merged, mode="drop").reshape(h, w)
+
+
 def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
-                     shader_idx: int, bg_fb, w: int, h: int, ray_world: bool):
+                     shader_idx: int, bg_fb, w: int, h: int, ray_world: bool,
+                     y0=0, full_h: int | None = None):
     """Deferred per-pixel shading over OCCUPIED row-blocks only.
 
     The per-pixel cubemap lookups are row gathers at ~2.6 ns/index — the
@@ -458,6 +569,13 @@ def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
     all shrink accordingly. (The reference never shades uncovered pixels
     either — its shader call sits inside the depth-test branch,
     rasterizer.rs:1722-1744.)
+
+    `y0` / `full_h` support band-sharded frames (parallel/raster_shard.py):
+    `h` is then the local band height while the ray-unprojection matrix
+    and pixel rows use the GLOBAL frame (y0 = band's first global row,
+    full_h = global frame height) — the interpolated planes themselves are
+    translation-invariant, only the world-ray reconstruction sees absolute
+    coordinates.
     """
     from ..ops.raster_queue import TILE_W
 
@@ -475,10 +593,10 @@ def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
     if ray_world:
         nc = jnp.stack([comp(p_) * wrc for p_ in lin[4:7]], axis=-1)
         zc = comp(z)
-        yc = (rows_g // ntx).astype(jnp.float32)[:, None]
+        yc = (rows_g // ntx).astype(jnp.float32)[:, None] + y0
         xc = ((rows_g % ntx) * TILE_W).astype(jnp.float32)[:, None] \
             + jnp.arange(TILE_W, dtype=jnp.float32)[None, :]
-        M = inv_world_to_vp(eye, w, h)
+        M = inv_world_to_vp(eye, w, h if full_h is None else full_h)
         pc = jnp.stack(
             [wrc * (M[i, 0] * xc + M[i, 1] * yc + M[i, 2] * zc + M[i, 3])
              for i in range(3)], axis=-1)

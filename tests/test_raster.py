@@ -406,3 +406,37 @@ def test_queue_rows_cover_drifted_geometry():
                                          return_overflow=True, **kw)
             assert not bool(stale)
         assert np.array_equal(np.asarray(got), want), f"t={t}"
+
+
+def test_queue_defer_lin_bit_exact():
+    """The z/slot-only kernel + per-winner re-evaluation (defer=True) must
+    reproduce the select+store path exactly: same integer edge values,
+    same float formulas, evaluated per pixel instead of per pair. (Kept as
+    a flag: measured SLOWER on v5e — per-pixel row gathers at ~0.5
+    ns/element lose to in-kernel vector selects; see pipeline docstring.)"""
+    import jax.numpy as jnp
+    from rustexp_tpu.assets import cubemap, mesh as mesh_assets
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    scene = pp.make_scene(mesh_assets.make_sphere(10, 20),
+                          cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(0.7))
+    w = h = 128
+    queue = pp.build_scene_queue(scene, eye, w, h)
+    for per_pixel in (True, False):
+        colors = None
+        if not per_pixel:
+            _, world, n_world = pp.transform_vertices(scene, eye, w, h)
+            colors = pp.sh.shader_fn(5)(world, n_world, scene.colors, eye,
+                                        jnp.float32(0.7), scene.cm)
+        bg = pp.background(0, w, h)
+        a, _ = pp.raster_and_shade_queue(scene, queue, colors, eye,
+                                         jnp.float32(0.7), w=w, h=h,
+                                         per_pixel=per_pixel, shader_idx=5,
+                                         bg_fb=bg, defer=False)
+        b, _ = pp.raster_and_shade_queue(scene, queue, colors, eye,
+                                         jnp.float32(0.7), w=w, h=h,
+                                         per_pixel=per_pixel, shader_idx=5,
+                                         bg_fb=bg, defer=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"per_pixel={per_pixel}")
