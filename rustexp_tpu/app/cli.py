@@ -57,7 +57,24 @@ def main(argv=None):
                    help="render frames without the burned-in status line")
     p.add_argument("--ticks-per-frame", type=float, default=1.0 / 60.0)
     p.add_argument("--runs", type=int, default=20, help="bench: timing runs per scene")
+    p.add_argument("--devices", type=int, default=1,
+                   help="run the experiment sharded over an N-device mesh "
+                        "(production parallel/ paths: GoL fused-Pallas "
+                        "halos, block-BH, flat-queue raster bands). With "
+                        "one real chip, use JAX_PLATFORMS=cpu XLA_FLAGS="
+                        "--xla_force_host_platform_device_count=N for a "
+                        "virtual mesh")
     args = p.parse_args(argv)
+
+    if args.devices > 1:
+        from .multidev import run_multidevice
+
+        times = run_multidevice(args.experiment, args.devices, args.frames,
+                                args.size, args.out, overlay=args.overlay)
+        med = sorted(times)[len(times) // 2]
+        print(f"{len(times)} frames, median {med * 1e3:.2f} ms "
+              f"on {args.devices} devices")
+        return 0
 
     if args.experiment == "bench":
         import json

@@ -82,6 +82,11 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
     def step_k_roll(local):
         return lax.fori_loop(0, k, lambda i, g: one_step(g), local)
 
+    # Interpret-mode selection must follow the MESH's platform, not the
+    # process default backend (a sitecustomize can default to a remote TPU
+    # while this mesh runs on forced-host CPU devices).
+    interpret = mesh.devices.flat[0].platform != "tpu"
+
     def step_k_pallas(local):
         from ..ops import gol_stencil
 
@@ -97,7 +102,8 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
         if halo < k:  # need rows from further neighbors
             raise ValueError(f"k={k} exceeds shard rows {r}; lower k")
         padded = jnp.concatenate([lo, local, hi], axis=0)  # [r+2k, N]
-        out = gol_stencil.multi_step_pallas(padded, jnp.int32(k))
+        out = gol_stencil.multi_step_pallas(padded, jnp.int32(k),
+                                            interpret=interpret)
         return lax.dynamic_slice_in_dim(out, halo, r, axis=0)
 
     body = step_k_pallas if backend == "pallas" else step_k_roll

@@ -203,6 +203,9 @@ def make_sharded_queue_render(
     if h % n_dev:
         raise ValueError(f"frame height {h} not divisible by {n_dev} devices")
     band_h = h // n_dev
+    # Follow the MESH's platform, not the process default backend (a
+    # sitecustomize can default to a remote TPU while this mesh is CPU).
+    interpret = mesh.devices.flat[0].platform != "tpu"
 
     def band_render(scene, queue, eye, tick):
         queue = jax.tree_util.tree_map(lambda x: x[0], queue)
@@ -243,7 +246,8 @@ def make_sharded_queue_render(
                 + [q * iw[1] for q in cat3[1]] + [q * iw[2] for q in cat3[2]]
 
         z, maskp, lin, stale = raster_attrs_queue(queue, setup, tuple(extra),
-                                                  n2, n3, band_h, w)
+                                                  n2, n3, band_h, w,
+                                                  interpret=interpret)
 
         # Band slice of the vertical gradient at GLOBAL rows
         start, end = pp.BACKGROUNDS[bg_idx]
