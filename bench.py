@@ -12,8 +12,16 @@ still under construction.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+
+# NOTE: do NOT enable the persistent XLA compile cache here. Measured on
+# the axon (remote-TPU tunnel) platform: cache WRITES succeed but the
+# first cache HIT hangs the process indefinitely (deserialization never
+# completes), while the same config works on CPU (tests/conftest.py).
+# The 12-scene suite therefore pays ~7 min of cold compiles per process.
 
 
 def _best_seconds(fn, runs=20, warmup=2):

@@ -79,6 +79,8 @@ def main(argv=None):
     if args.experiment == "bench":
         import json
 
+        # (No persistent compile cache here: cache HITS hang on the
+        # axon remote-TPU platform — see bench.py.)
         from .benchmark import run_suite
 
         print(json.dumps(run_suite(runs=args.runs)))

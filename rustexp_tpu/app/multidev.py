@@ -128,9 +128,11 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         from ..parallel import raster_shard
         from ..raster import camera, pipeline as pp
 
-        if h % (n_dev * 8):
+        from ..ops.raster_queue import TILE_H
+
+        if h % (n_dev * TILE_H):
             raise SystemExit(f"--size {size} not divisible into {n_dev} "
-                             f"8-row-tileable bands")
+                             f"{TILE_H}-row-tileable bands")
         m = mesh_assets.get_mesh(0)
         scene = pp.make_scene(m, cubemap.get_cm_set(0))
         cam = mesh_assets.mesh_camera(0)

@@ -40,9 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .raster_setup import TriSetup
 
-TILE_H = 8
+TILE_H = 16
 TILE_W = 128
 CHUNK = 128
+# TILE_H=16 (was 8): the pair kernel is SMEM-SCALAR-READ bound (~1 ns x
+# ~38 channel reads per pair, not vector-issue bound), so halving the pair
+# count beats halving the per-pair vector footprint. Measured r3 (v5e,
+# 512^2, sustained): KillerooP 1106 -> 962 us, HeadP 1648 -> 1407,
+# KillerooV 840 -> 750; tile_h=32 regresses back to par (vector work
+# catches up). 8-row-granular facts (row-block shade compaction, ROW_MARGIN)
+# are tile_h-independent.
 ROW_MARGIN = 2  # rows of camera-drift headroom baked into Queue.rows/ylim.
 # Margin rows are shaded every frame (up to 2*margin extra rows per tile:
 # margin 8 cost HeadP ~340 us, margin 4 ~170); 2 still absorbs 2 px of
