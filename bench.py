@@ -12,7 +12,6 @@ still under construction.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 

@@ -40,14 +40,15 @@ ENV = 0     # Grace
 TICK = 0.0
 REF_TOTAL_US = 27286  # rasterizer.rs:1829-1834
 
-# Our own stored baseline (v5e-1, round 2) — the analog of the reference's
-# hardcoded table: regressions beyond +-1% of THESE numbers tint red in
-# the suite report, exactly like rasterizer.rs:1813-1883 does against its
-# author's machine. Refresh alongside BASELINE.md when perf work lands.
+# Our own stored baseline (v5e-1, round 3: tile_h=16) — the analog of the
+# reference's hardcoded table: regressions beyond +-1% of THESE numbers
+# tint red in the suite report, exactly like rasterizer.rs:1813-1883 does
+# against its author's machine. Refresh alongside BASELINE.md when perf
+# work lands.
 TPU_REF_US = {
-    "KillerooV": 1058, "HeadV": 1556, "HandV": 341, "TorusKnotV": 376,
-    "CubeV": 127, "CornellBoxV": 376, "KillerooP": 1522, "HeadP": 2728,
-    "HandP": 817, "TorusKnotP": 1517, "CubeP": 1235, "CornellBoxP": 1428,
+    "KillerooV": 976, "HeadV": 1386, "HandV": 296, "TorusKnotV": 272,
+    "CubeV": 129, "CornellBoxV": 266, "KillerooP": 1405, "HeadP": 2529,
+    "HandP": 742, "TorusKnotP": 1394, "CubeP": 1234, "CornellBoxP": 1275,
 }
 
 
