@@ -174,23 +174,26 @@ def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
 
 def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
                        runs: int = 8, fps: float = 60.0, k: int = 256):
-    """Moving-camera cost of one scene: queue-cache amortization included.
+    """Moving-camera cost of one scene: per-frame IN-GRAPH queue rebuild.
 
     VERDICT r2 #8: the suite renders a FIXED eye per dispatch, so the cost
-    of rebuilding the cached queue under camera motion was a footnote, not
-    a number. This measures the real interactive loop: eyes advance along
-    the mesh's own camera path at 1/fps ticks, frames render against the
-    frame-0 queue structure, and the steady state is
-
-        per-frame = scan_frame_cost + rebuild_cost / frames_per_rebuild
-
-    where frames_per_rebuild is how long the cached structure stays valid
-    under this motion (measured via check_queue_valid on each eye) and
-    rebuild_cost is a measured wall-clock queue build (stats round trip
-    included). Returns a dict with all three components in us.
+    of queue maintenance under camera motion was a footnote, not a number.
+    Measured honestly, the cached-structure strategy buys nothing under
+    real motion — the validity check is exact tile containment, and at
+    24k triangles SOME triangle crosses a tile boundary nearly every
+    1/60 s step, so the steady state is a rebuild per frame. The build is
+    pure static-shape XLA, so the right form is to rebuild IN-GRAPH every
+    frame: one jitted scan whose body does transform -> setup -> full
+    queue build -> gather -> kernel -> shade for each eye along the
+    mesh's own camera path. No host round trips, no staleness; a single
+    overflow flag (static caps fixed from a pre-pass over the path with
+    margin) is pulled at the end.
     """
     import jax.numpy as jnp
     import numpy as np
+
+    from ..ops.raster_queue import build_queue, suggest_queue_config
+    from ..ops.raster_setup import setup_triangles_planar
 
     m = mesh.get_mesh(mesh_idx)
     scene = pp.make_scene(m, cubemap.get_cm_set(ENV))
@@ -198,63 +201,43 @@ def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
     ticks = np.arange(k, dtype=np.float64) / fps
     eyes = jnp.asarray(np.stack([camera.camera_eye(cam, t) for t in ticks]),
                        jnp.float32)
-    queue = pp.build_scene_queue(scene, np.asarray(eyes[0]), W, H)
 
-    # 1) frames until the frame-0 structure goes stale under this motion
-    from ..ops.raster_queue import check_queue_valid
-    from ..ops.raster_setup import setup_triangles_planar
+    # Static caps: max stats over a sample of path eyes, + margin
+    stats = [jax.device_get(pp._queue_stats_jit(scene, eyes[i], W, H))
+             for i in range(0, k, max(1, k // 8))]
+    agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
+    s_cap, m_y, m_x, t_cap = suggest_queue_config(agg)
 
     @jax.jit
-    def stale_flags(scene, queue, eyes):
+    def frames(scene, eyes):
         def body(c, e):
             xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, e, W, H)
             setup = setup_triangles_planar(xs, ys, zs, W, H)
-            return c, ~check_queue_valid(queue, setup)
-        _, flags = jax.lax.scan(body, 0, eyes)
-        return flags
-
-    flags = np.asarray(stale_flags(scene, queue, eyes))
-    frames_valid = int(flags.argmax()) if flags.any() else k
-
-    # 2) sustained moving-eye render over the valid prefix
-    kv = max(8, frames_valid)
-    eyes_v = eyes[:kv] if frames_valid >= 8 else eyes[:1].repeat(8, 0)
-
-    @jax.jit
-    def frames(scene, queue, eyes):
-        def body(c, e):
-            fb, stale = pp.render_frame(
+            queue = build_queue(setup, H, W, s_cap=s_cap, m_y=m_y, m_x=m_x,
+                                t_cap=t_cap)
+            fb, overflow = pp.render_frame(
                 scene, e, TICK, w=W, h=H, mode=pp.MODE_FILL,
                 per_pixel=per_pixel, shader_idx=SHADER, bg_idx=0,
                 show_cm=False, backend="queue", raster_queue=queue,
                 return_overflow=True)
-            return c, jnp.sum(fb, dtype=jnp.uint32) + stale.astype(jnp.uint32)
-        _, sums = jax.lax.scan(body, 0, eyes)
-        return sums
+            return c | overflow, jnp.sum(fb, dtype=jnp.uint32)
+        ov, sums = jax.lax.scan(body, jnp.bool_(False), eyes)
+        return ov, sums
 
-    np.asarray(frames(scene, queue, eyes_v))
+    ov, _ = frames(scene, eyes)
+    assert not bool(ov), "static caps overflowed along the camera path"
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        np.asarray(frames(scene, queue, eyes_v))
-        best = min(best, (time.perf_counter() - t0) / eyes_v.shape[0])
+        out = frames(scene, eyes)
+        np.asarray(out[1])
+        best = min(best, (time.perf_counter() - t0) / k)
 
-    # 3) measured rebuild cost (stats round trip + jitted build), warm
-    pp.build_scene_queue(scene, np.asarray(eyes[1]), W, H)
-    t0 = time.perf_counter()
-    pp.build_scene_queue(scene, np.asarray(eyes[2]), W, H)
-    rebuild_s = time.perf_counter() - t0
-
-    frame_us = best * 1e6
-    rebuild_us = rebuild_s * 1e6
-    total_us = frame_us + rebuild_us / max(frames_valid, 1)
     return {
         "metric": "raster_moving_camera_us_per_frame",
-        "value": round(total_us, 1),
+        "value": round(best * 1e6, 1),
         "unit": "us",
-        "frame_us": round(frame_us, 1),
-        "rebuild_us": round(rebuild_us, 1),
-        "frames_per_rebuild": frames_valid,
+        "frames": k,
         "scene": ("KillerooP" if mesh_idx == 0 and per_pixel else
                   f"mesh{mesh_idx}{'P' if per_pixel else 'V'}"),
     }

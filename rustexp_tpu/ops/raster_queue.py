@@ -106,7 +106,8 @@ def build_queue(
     span_y = ty1 - ty0 + 1
     span_x = tx1 - tx0 + 1
 
-    # Pair enumeration: keys = tile*T + t, invalid slots sort to the end.
+    # Pair enumeration per (triangle, dy, dx); tiles beyond the static
+    # m_y/m_x spans are not enumerated (overflow flag below).
     dy = jnp.arange(m_y, dtype=jnp.int32)
     dx = jnp.arange(m_x, dtype=jnp.int32)
     t_ty = ty0[:, None, None] + dy[None, :, None]
@@ -117,6 +118,16 @@ def build_queue(
         & (dx[None, None, :] < span_x[:, None, None])
     )
     tile_id = t_ty * ntx + t_tx
+
+    # Pair keys sorted by (tile, tri): slot order within a tile must be
+    # ascending triangle id (the reference's submission order, which the
+    # strict-less depth race turns into first-wins ties). Build-cost
+    # notes (measured on v5e, killeroo, sustained in-graph): the sort of
+    # ~T*m_y*m_x keys is ~1 ms; a cumsum-rank + per-pair SCATTER
+    # alternative is 5+ ms — TPU scatters cost ~25 ns/index, so anything
+    # per-pair must stay a sort/gather, and per-tile facts below use
+    # dense masked reductions over the [T, n_tiles] coverage matrix
+    # instead of scatter-min/max (which cost another ~4 ms).
     tri_id = jnp.broadcast_to(
         jnp.arange(T, dtype=jnp.int32)[:, None, None], tile_id.shape)
     big = jnp.int32(n_tiles * T)
@@ -125,6 +136,13 @@ def build_queue(
     bounds = jnp.searchsorted(
         skey, jnp.arange(n_tiles + 1, dtype=jnp.int32) * T).astype(jnp.int32)
     counts = bounds[1:] - bounds[:-1]  # [nT]
+
+    ty_ar = jnp.arange(nty, dtype=jnp.int32)
+    tx_ar = jnp.arange(ntx, dtype=jnp.int32)
+    cov_y = (ty_ar[None, :] >= ty0[:, None]) & (ty_ar[None, :] <= ty1[:, None])
+    cov_x = (tx_ar[None, :] >= tx0[:, None]) & (tx_ar[None, :] <= tx1[:, None])
+    cov = (cov_y[:, :, None] & cov_x[:, None, :]
+           & setup.valid[:, None, None]).reshape(T, n_tiles)
 
     # Chunk-aligned segment layout. Only tiles with pairs get chunks; the
     # slot plane of never-visited tiles stays -1 via input/output aliasing
@@ -153,7 +171,7 @@ def build_queue(
     scal = jnp.stack(
         [ty, tx, first.astype(jnp.int32), cnt], axis=1)  # [S, 4]
 
-    # Slot -> source pair
+    # Slot -> source pair (gather from the sorted key array)
     pos = (bounds[tile_of] + k_of * chunk)[:, None] + jnp.arange(
         chunk, dtype=jnp.int32)[None, :]                       # [S, chunk]
     slot_ok = jnp.arange(chunk, dtype=jnp.int32)[None, :] < cnt[:, None]
@@ -181,16 +199,15 @@ def build_queue(
         t_cap = n_rb
     ymin_tri = jnp.maximum(setup.min_y - ROW_MARGIN, 0)
     ymax_tri = jnp.minimum(setup.max_y + ROW_MARGIN, h)
-    # per-tile y bounds over its pairs (scatter-min/max over the same
-    # (triangle, dy, dx) enumeration that built the queue; `ok` masks the
-    # beyond-span and backfacing entries by dropping their scatter index)
-    scat_idx = jnp.where(ok, tile_id, n_tiles).reshape(-1)
-    ymin_t = jnp.full((n_tiles,), h, jnp.int32).at[scat_idx].min(
-        jnp.broadcast_to(ymin_tri[:, None, None], tile_id.shape)
-        .reshape(-1), mode="drop")
-    ymax_t = jnp.zeros((n_tiles,), jnp.int32).at[scat_idx].max(
-        jnp.broadcast_to(ymax_tri[:, None, None], tile_id.shape)
-        .reshape(-1), mode="drop")
+    # per-tile y bounds over its pairs: dense masked reductions over the
+    # coverage matrix ([T, nT] vector min/max, ~0.1 ms) — scatter-min/max
+    # over the pair enumeration cost ~4 ms at ~25 ns/scatter-index.
+    # NOTE: cov covers the triangle's FULL tile range while the queue
+    # enumerates only m_y x m_x of it; the y-extents of beyond-span tiles
+    # are a superset, which only ever ADDS rows to the shade list (and
+    # span overflow already sets the rebuild flag).
+    ymin_t = jnp.min(jnp.where(cov, ymin_tri[:, None], h), axis=0)
+    ymax_t = jnp.max(jnp.where(cov, ymax_tri[:, None], 0), axis=0)
     rb_tile = (jnp.arange(n_rb, dtype=jnp.int32) // ntx // tile_h) * ntx \
         + jnp.arange(n_rb, dtype=jnp.int32) % ntx
     rb_y = jnp.arange(n_rb, dtype=jnp.int32) // ntx
@@ -582,10 +599,16 @@ def suggest_queue_config(setup_stats, margin: float = 1.3,
     structures can be rebuilt at nearby viewpoints without recompiling.
     t_cap (occupied-row-block capacity for the compacted shade) gets a
     smaller margin — its cost scales the per-pixel cubemap gathers directly.
+
+    Caps are QUANTIZED (s_cap to 16 chunks, t_cap to 64 row-blocks) so
+    nearby viewpoints produce the same static shapes: an unquantized cap
+    changed with nearly every camera step, which made every interactive
+    rebuild a fresh XLA compile (measured: 14 s/rebuild through the
+    remote-TPU tunnel; quantized, rebuilds reuse the compiled build).
     """
     total_chunks, sy, sx, occ_rows = setup_stats
-    s_cap = max(8, int(int(total_chunks) * margin) + 4)
-    t_cap = max(8, int(int(occ_rows) * tile_margin) + 8)
+    s_cap = max(16, -(-int(int(total_chunks) * margin + 4) // 16) * 16)
+    t_cap = max(64, -(-int(int(occ_rows) * tile_margin + 8) // 64) * 64)
     return s_cap, int(sy) + 1, int(sx) + 1, t_cap
 
 
