@@ -220,3 +220,78 @@ def test_oracle_nbody_draw(oracle_bin, tmp_path):
     # atan2 flips at exact octant boundaries; none occur for this seed.
     diff = int((eng != orc).sum())
     assert diff <= 3, f"{diff} pixels differ"
+
+
+# ---------------------------------------------------------------------------
+# Full feature-matrix cross-validation (round 3): every shader, both shading
+# modes, Point/Line render modes, all 5 backgrounds, all 3 mesh file
+# formats, multiple envmaps — small frames (128^2) so the engine side runs
+# the XLA oracle backend quickly on CPU.
+# ---------------------------------------------------------------------------
+
+
+def _engine_frame(mesh_idx, shader, env, bg, per_pixel, tick, mode=2):
+    from rustexp_tpu.assets import cubemap, mesh
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    m = mesh.get_mesh(mesh_idx)
+    if "(procedural)" in m.name:
+        pytest.skip("real mesh assets unavailable")
+    scene = pp.make_scene(m, cubemap.get_cm_set(env))
+    eye = jnp.asarray(camera.camera_eye(mesh.mesh_camera(mesh_idx), tick))
+    kw = dict(w=128, h=128, shader_idx=shader, bg_idx=bg, show_cm=False)
+    if mode == 2:
+        return np.asarray(pp.render_frame(scene, eye, tick, per_pixel=bool(
+            per_pixel), backend="xla", **kw))
+    return np.asarray(pp.render_frame(scene, eye, tick, mode=mode, **kw))
+
+
+def _oracle_frame(oracle_bin, reference_root, tmp_path, mesh_idx, shader,
+                  env, bg, per_pixel, tick, mode=2):
+    out = tmp_path / "fb.raw"
+    _run(oracle_bin, "rast", reference_root, mesh_idx, shader, env, bg,
+         per_pixel, tick, 128, 128, out, 0, mode)
+    return np.fromfile(out, np.uint32).reshape(128, 128)
+
+
+@pytest.mark.parametrize("shader", range(16))
+def test_oracle_all_shaders(oracle_bin, reference_root, tmp_path, shader):
+    """All 16 shaders x {V, P} on the cube, env 1, bg 1. Measured r3: 26 of
+    32 configs bit-exact, the rest differ on ONE shared-edge tie pixel."""
+    for ppx in (0, 1):
+        orc = _oracle_frame(oracle_bin, reference_root, tmp_path,
+                            9, shader, 1, 1, ppx, 0.7)
+        eng = _engine_frame(9, shader, 1, 1, ppx, 0.7)
+        diff = int((orc != eng).sum())
+        assert diff <= 2, f"shader {shader} pp={ppx}: {diff} px"
+
+
+def test_oracle_point_and_line_modes(oracle_bin, reference_root, tmp_path):
+    """Point dots and the wireframe DDA: bit-exact (the engine's closed-form
+    a + step*m sampling reproduces the reference's iterative x += xi
+    stepping exactly at these coordinate magnitudes)."""
+    for mode in (0, 1):
+        orc = _oracle_frame(oracle_bin, reference_root, tmp_path,
+                            9, 0, 0, 0, 0, 0.7, mode=mode)
+        eng = _engine_frame(9, 0, 0, 0, 0, 0.7, mode=mode)
+        np.testing.assert_array_equal(eng, orc, err_msg=f"mode={mode}")
+
+
+@pytest.mark.parametrize("bg", range(5))
+def test_oracle_backgrounds(oracle_bin, reference_root, tmp_path, bg):
+    orc = _oracle_frame(oracle_bin, reference_root, tmp_path,
+                        9, 0, 0, bg, 0, 0.7)
+    eng = _engine_frame(9, 0, 0, bg, 0, 0.7)
+    np.testing.assert_array_equal(eng, orc)
+
+
+@pytest.mark.parametrize("mesh_idx", [2, 5, 10])
+def test_oracle_formats_and_envmaps(oracle_bin, reference_root, tmp_path,
+                                    mesh_idx):
+    """Mitsuba (XyzNxNyNzRGB, pan camera), Teapot (XyzNxNyNz), Sphere —
+    CMGlossy with envmap 4 (Pisa), bg 2. All bit-exact (r3)."""
+    orc = _oracle_frame(oracle_bin, reference_root, tmp_path,
+                        mesh_idx, 8, 4, 2, 1, 1.3)
+    eng = _engine_frame(mesh_idx, 8, 4, 2, 1, 1.3)
+    diff = int((orc != eng).sum())
+    assert diff <= 2, f"mesh {mesh_idx}: {diff} px"

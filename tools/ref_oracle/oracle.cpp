@@ -1184,10 +1184,33 @@ static const char* ENVMAPS[9] = {
     "pine_tree", "uffizi", "doge", "coltest",
 };
 
+static void draw_line(float x1, float y1, float x2, float y2, uint32_t* fb,
+                      int w, int h) {
+  // DDA (rasterizer.rs:1301-1329): canonical direction so both windings
+  // draw identical pixels; iterative float stepping.
+  if (!(x2 > x1)) {
+    float tx = x1, ty = y1;
+    x1 = x2; y1 = y2; x2 = tx; y2 = ty;
+  }
+  float dx = x2 - x1, dy = y2 - y1;
+  float s = fabsf(dx) > fabsf(dy) ? fabsf(dx) : fabsf(dy);
+  float xi = dx / s, yi = dy / s;
+  float x = x1, y = y1, m = 0.0f;
+  while (m < s) {
+    int xr = rs_i32(x), yr = rs_i32(y);
+    if (xr >= 0 && xr < w && yr >= 0 && yr < h)
+      fb[(size_t)(xr + yr * w)] = 0x00FFFFFFu;
+    x += xi;
+    y += yi;
+    m += 1.0f;
+  }
+}
+
 static void rast_draw(const std::string& ref_root, int mesh_idx, int shader_idx,
                       int env_idx, int bg_idx, bool per_pixel, double tick,
                       int w, int h, std::vector<uint32_t>& fb,
-                      int show_cm_override /* -1 = shader default */) {
+                      int show_cm_override /* -1 = shader default */,
+                      int mode /* 0 Point, 1 Line, 2 Fill */ = 2) {
   const MeshEntry& me = MESHES[mesh_idx];
   Mesh mesh = load_mesh(ref_root + "/meshes/" + me.file, me.fmt);
   CMSet cm = load_cm_set(ref_root + "/envmaps/" + ENVMAPS[env_idx]);
@@ -1197,19 +1220,38 @@ static void rast_draw(const std::string& ref_root, int mesh_idx, int shader_idx,
   M4 ndim = normalize_dimensions(mesh);
   std::vector<TVertex> tv;
   transform_vertices(mesh.vtx, tv, ndim, w, h, eye);
-  if (!per_pixel) {  // vertex shading (rasterizer.rs:1991-1995)
+  bool do_vtx_shading = !per_pixel && mode == 2;  // rasterizer.rs:1959
+  if (do_vtx_shading) {
     for (TVertex& v : tv) v.col = se.fn(v.world, v.n, v.col, eye, tick, cm);
   }
 
   fb.assign((size_t)w * h, 0u);
   draw_bg_gradient(bg_idx, w, h, fb.data());
-  std::vector<float> depth((size_t)w * h, 1.0f);
 
-  // Serial triangle loop (rasterizer.rs:2054-2073) — submission order, so
-  // the strict-less depth test gives first-triangle-wins ties
-  for (const Tri& t : mesh.tri)
-    rasterize_triangle(tv[t.v0], tv[t.v1], tv[t.v2], se.fn, per_pixel, eye,
-                       tick, cm, 0, 0, w, h, w, fb.data(), depth.data());
+  if (mode == 0) {
+    // Point mode (rasterizer.rs:2013-2028): white dot per referenced vertex
+    for (const Tri& t : mesh.tri)
+      for (uint32_t idx : {t.v0, t.v1, t.v2}) {
+        int x = rs_i32(tv[idx].vp.x), y = rs_i32(tv[idx].vp.y);
+        if (x < 0 || x >= w || y < 0 || y >= h) continue;
+        fb[(size_t)(x + y * w)] = 0x00FFFFFFu;
+      }
+  } else if (mode == 1) {
+    // Line mode (rasterizer.rs:2030-2046): wireframe, three edges per tri
+    for (const Tri& t : mesh.tri) {
+      const uint32_t e[3][2] = {{t.v0, t.v1}, {t.v1, t.v2}, {t.v2, t.v0}};
+      for (auto& pr : e)
+        draw_line(tv[pr[0]].vp.x, tv[pr[0]].vp.y, tv[pr[1]].vp.x,
+                  tv[pr[1]].vp.y, fb.data(), w, h);
+    }
+  } else {
+    std::vector<float> depth((size_t)w * h, 1.0f);
+    // Serial triangle loop (rasterizer.rs:2054-2073) — submission order,
+    // so the strict-less depth test gives first-triangle-wins ties
+    for (const Tri& t : mesh.tri)
+      rasterize_triangle(tv[t.v0], tv[t.v1], tv[t.v2], se.fn, per_pixel, eye,
+                         tick, cm, 0, 0, w, h, w, fb.data(), depth.data());
+  }
 
   bool show_cm = show_cm_override < 0 ? se.show_cm : show_cm_override != 0;
   if (show_cm) draw_cross(cm, 10, 10, w, h, fb.data());
@@ -1275,17 +1317,18 @@ int main(int argc, char** argv) {
     write_file(argv[6], fb.data(), fb.size() * 4);
     return 0;
   }
-  if (cmd == "rast" && (argc == 12 || argc == 13)) {
+  if (cmd == "rast" && (argc >= 12 && argc <= 14)) {
     std::string root = argv[2];
     int mesh_idx = atoi(argv[3]), shader_idx = atoi(argv[4]);
     int env_idx = atoi(argv[5]), bg_idx = atoi(argv[6]);
     bool per_pixel = atoi(argv[7]) != 0;
     double tick = atof(argv[8]);
     int w = atoi(argv[9]), h = atoi(argv[10]);
-    int show_cm = argc == 13 ? atoi(argv[12]) : -1;
+    int show_cm = argc >= 13 ? atoi(argv[12]) : -1;
+    int mode = argc >= 14 ? atoi(argv[13]) : 2;
     std::vector<uint32_t> fb;
     rast_draw(root, mesh_idx, shader_idx, env_idx, bg_idx, per_pixel, tick, w,
-              h, fb, show_cm);
+              h, fb, show_cm, mode);
     write_file(argv[11], fb.data(), fb.size() * 4);
     return 0;
   }
