@@ -295,3 +295,17 @@ def test_oracle_formats_and_envmaps(oracle_bin, reference_root, tmp_path,
     eng = _engine_frame(mesh_idx, 8, 4, 2, 1, 1.3)
     diff = int((orc != eng).sum())
     assert diff <= 2, f"mesh {mesh_idx}: {diff} px"
+
+
+def test_oracle_sine_bit_exact(oracle_bin, tmp_path):
+    """sine_scroller (sine_scroller.rs:4-17): separable engine form vs the
+    oracle's scalar double loop — bit-exact at 512^2."""
+    from rustexp_tpu.sims.sine import sine_frame
+
+    out = tmp_path / "s.raw"
+    _run(oracle_bin, "sine", 512, 512, 0.37, out)
+    orc = np.fromfile(out, np.uint32).reshape(512, 512)
+    eng = np.asarray(sine_frame(jnp.arange(512, dtype=jnp.float32),
+                                jnp.arange(512, dtype=jnp.float32),
+                                jnp.float32(0.37)))
+    np.testing.assert_array_equal(eng, orc)

@@ -230,6 +230,25 @@ static float fast_unit_pow16(float v) {
 }
 
 // ---------------------------------------------------------------------------
+// Sine scroller (sine_scroller.rs:4-17)
+// ---------------------------------------------------------------------------
+
+static void sine_scroller(int w, int h, std::vector<uint32_t>& fb,
+                          double tick) {
+  fb.assign((size_t)w * h, 0u);
+  const float TWO_PI = 2.0f * 3.14159265358979f;
+  for (int y = 0; y < h; ++y) {
+    float sy = sinf(((float)y / 64.0f + (float)tick) * TWO_PI);
+    for (int x = 0; x < w; ++x) {
+      float sx = sinf(((float)x / 64.0f + (float)tick) * TWO_PI);
+      uint32_t gray =
+          (uint32_t)(((sx + 1.0f) * 0.5f) * ((sy + 1.0f) * 0.5f) * 255.0f);
+      fb[(size_t)(x + y * w)] = gray | gray << 8 | gray << 16;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Game of Life (gol.rs)
 // ---------------------------------------------------------------------------
 
@@ -1270,6 +1289,14 @@ int main(int argc, char** argv) {
   if (cmd == "tables" && argc == 4) {
     write_file(argv[2], GAMMA_LUT, sizeof(GAMMA_LUT));
     write_file(argv[3], POW16_TBL, sizeof(POW16_TBL));
+    return 0;
+  }
+  if (cmd == "sine" && argc == 6) {
+    int w = atoi(argv[2]), h = atoi(argv[3]);
+    double tick = atof(argv[4]);
+    std::vector<uint32_t> fb;
+    sine_scroller(w, h, fb, tick);
+    write_file(argv[5], fb.data(), fb.size() * 4);
     return 0;
   }
   if (cmd == "gol_pattern" && argc == 6) {
