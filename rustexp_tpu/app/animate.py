@@ -1,0 +1,93 @@
+"""Offline animation renderer — camera-path turntables at full device rate.
+
+The interactive loop renders one frame per dispatch; for offline animation
+(the reference's analog is holding the app open while the camera orbits,
+App.hs:196-214) the whole clip renders as ONE jitted scan per chunk: each
+frame re-runs transform -> setup -> full in-graph queue build -> raster ->
+shade at its own eye (the moving-camera path, app/benchmark.py
+bench_scene_moving — ~2.4 ms/frame at KillerooP on v5e including the
+rebuild), and frames stream back in chunks to bound device memory.
+
+Usage:
+    python -m rustexp_tpu.app.cli rasterizer --animate 120 --out /tmp/turn
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+CHUNK_FRAMES = 32  # frames per dispatch: 32 x 1 MB @ 512^2 in HBM
+
+
+def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
+                     bg_idx: int = 0, per_pixel: bool = False,
+                     n_frames: int = 60, fps: float = 60.0, w: int = 512,
+                     h: int = 512, out_prefix: str = "", overlay: bool = False,
+                     tick0: float = 0.0):
+    """Render n_frames along the mesh's camera path; returns seconds/frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..assets import cubemap, mesh
+    from ..core.framebuffer import to_rgb8_topleft, write_png
+    from ..ops.raster_queue import build_queue, suggest_queue_config
+    from ..ops.raster_setup import setup_triangles_planar
+    from ..raster import camera, pipeline as pp
+
+    m = mesh.get_mesh(mesh_idx)
+    scene = pp.make_scene(m, cubemap.get_cm_set(env_idx))
+    cam = mesh.mesh_camera(mesh_idx)
+    ticks = tick0 + np.arange(n_frames, dtype=np.float64) / fps
+    eyes = np.stack([camera.camera_eye(cam, t) for t in ticks]).astype(
+        np.float32)
+
+    # Static queue caps: max stats over sampled path eyes, with margin
+    stats = [jax.device_get(pp._queue_stats_jit(
+        scene, jnp.asarray(eyes[i]), w, h))
+        for i in range(0, n_frames, max(1, n_frames // 8))]
+    agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
+    s_cap, m_y, m_x, t_cap = suggest_queue_config(agg)
+
+    @jax.jit
+    def chunk(scene, eyes_c, ticks_c):
+        def body(ov, et):
+            e, t = et
+            xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, e, w, h)
+            setup = setup_triangles_planar(xs, ys, zs, w, h)
+            queue = build_queue(setup, h, w, s_cap=s_cap, m_y=m_y, m_x=m_x,
+                                t_cap=t_cap)
+            fb, overflow = pp.render_frame(
+                scene, e, t, w=w, h=h, mode=pp.MODE_FILL,
+                per_pixel=per_pixel, shader_idx=shader_idx, bg_idx=bg_idx,
+                backend="queue", raster_queue=queue, return_overflow=True)
+            return ov | overflow, fb
+        ov, fbs = jax.lax.scan(body, jnp.bool_(False), (eyes_c, ticks_c))
+        return ov, fbs
+
+    times = []
+    frame_no = 0
+    for c0 in range(0, n_frames, CHUNK_FRAMES):
+        ec = eyes[c0 : c0 + CHUNK_FRAMES]
+        tc = ticks[c0 : c0 + CHUNK_FRAMES].astype(np.float32)
+        t0 = time.perf_counter()
+        ov, fbs = chunk(scene, jnp.asarray(ec), jnp.asarray(tc))
+        fbs = np.asarray(fbs)
+        times.append((time.perf_counter() - t0) / len(ec))
+        if bool(ov):
+            raise RuntimeError(
+                "queue caps overflowed mid-path; re-run (caps are sampled "
+                "with margin — a pathological camera path can exceed them)")
+        for i in range(fbs.shape[0]):
+            if out_prefix:
+                path = f"{out_prefix}_{frame_no:04d}.png"
+                fb = fbs[i]
+                if overlay:
+                    from ..core.font import draw_text
+
+                    fb = draw_text(fb, f"frame {frame_no} "
+                                       f"tick {ticks[frame_no]:.3f}")
+                write_png(path, to_rgb8_topleft(fb))
+            frame_no += 1
+    return times

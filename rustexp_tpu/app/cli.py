@@ -57,6 +57,16 @@ def main(argv=None):
                    help="render frames without the burned-in status line")
     p.add_argument("--ticks-per-frame", type=float, default=1.0 / 60.0)
     p.add_argument("--runs", type=int, default=20, help="bench: timing runs per scene")
+    p.add_argument("--save-state", default="", metavar="PATH",
+                   help="write the final experiment state to PATH (npz) "
+                        "for later --load-state resume")
+    p.add_argument("--load-state", default="", metavar="PATH",
+                   help="resume from a --save-state checkpoint instead of "
+                        "a fresh init (GoL resumes bit-exactly)")
+    p.add_argument("--animate", type=int, default=0, metavar="N",
+                   help="rasterizer: render an N-frame camera-path "
+                        "turntable as chunked on-device scans (full "
+                        "in-graph queue rebuild per frame) to --out")
     p.add_argument("--devices", type=int, default=1,
                    help="run the experiment sharded over an N-device mesh "
                         "(production parallel/ paths: GoL fused-Pallas "
@@ -86,8 +96,27 @@ def main(argv=None):
         print(json.dumps(run_suite(runs=args.runs)))
         return 0
 
+    if args.animate:
+        if args.experiment != "rasterizer":
+            raise SystemExit("--animate supports the rasterizer experiment")
+        from .animate import render_turntable
+
+        times = render_turntable(n_frames=args.animate, w=args.size,
+                                 h=args.size, out_prefix=args.out,
+                                 overlay=args.overlay and bool(args.out))
+        med = sorted(times)[len(times) // 2]
+        print(f"{args.animate} frames, median {med * 1e3:.2f} ms/frame "
+              f"(sustained, incl. per-frame queue rebuild)")
+        return 0
+
     exp = build_experiment(args.experiment, args)
-    state = exp.init()
+    if args.load_state:
+        from ..core.checkpoint import load_state
+
+        state = load_state(args.load_state, exp)
+        print(f"resumed from {args.load_state}")
+    else:
+        state = exp.init()
     for k in args.keys:
         state = exp.handle_key(state, k)
 
@@ -113,6 +142,11 @@ def main(argv=None):
         print(f"[{i}] {exp.status(state)}")
     dt = time.perf_counter() - t_start
     print(f"{args.frames} frames in {dt:.3f}s ({args.frames / dt:.1f} FPS)")
+    if args.save_state:
+        from ..core.checkpoint import save_state
+
+        save_state(args.save_state, state)
+        print(f"saved state to {args.save_state}")
     return 0
 
 
