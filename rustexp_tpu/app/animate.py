@@ -68,13 +68,16 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
 
     times = []
     frame_no = 0
-    for c0 in range(0, n_frames, CHUNK_FRAMES):
+    for i, c0 in enumerate(range(0, n_frames, CHUNK_FRAMES)):
         ec = eyes[c0 : c0 + CHUNK_FRAMES]
         tc = ticks[c0 : c0 + CHUNK_FRAMES].astype(np.float32)
         t0 = time.perf_counter()
         ov, fbs = chunk(scene, jnp.asarray(ec), jnp.asarray(tc))
         fbs = np.asarray(fbs)
-        times.append((time.perf_counter() - t0) / len(ec))
+        if i > 0 or n_frames <= CHUNK_FRAMES:
+            # First chunk's wall time is dominated by the one-off XLA
+            # compile of the scan; report sustained chunks only.
+            times.append((time.perf_counter() - t0) / len(ec))
         if bool(ov):
             raise RuntimeError(
                 "queue caps overflowed mid-path; re-run (caps are sampled "
