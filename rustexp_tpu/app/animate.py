@@ -8,6 +8,11 @@ shade at its own eye (the moving-camera path, app/benchmark.py
 bench_scene_moving — ~2.4 ms/frame at KillerooP on v5e including the
 rebuild), and frames stream back in chunks to bound device memory.
 
+Note on reported times: they include pulling every rendered frame to the
+host (32 MB/chunk at 512^2). Over a remote-TPU tunnel that transfer
+dominates (measured ~46 ms/frame end to end vs 2.4 ms of device compute);
+on a locally-attached chip the readback is ~0.3 ms/frame.
+
 Usage:
     python -m rustexp_tpu.app.cli rasterizer --animate 120 --out /tmp/turn
 """

@@ -262,8 +262,8 @@ def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
     grid = jnp.asarray(rng.integers(0, 2, (n, n)).astype(np.int32))
     k = generations_per_dispatch
 
-    if backend == "pallas" and n > 1024:
-        backend = "mxu"
+    if backend == "pallas" and n * n > 640 * 1024:
+        backend = "mxu"  # beyond the VMEM-resident kernel (gol_stencil)
 
     @jax.jit
     def run(g):

@@ -106,7 +106,8 @@ def main(argv=None):
                                  overlay=args.overlay and bool(args.out))
         med = sorted(times)[len(times) // 2]
         print(f"{args.animate} frames, median {med * 1e3:.2f} ms/frame "
-              f"(sustained, incl. per-frame queue rebuild)")
+              f"(sustained; incl. per-frame queue rebuild AND full-frame "
+              f"host readback — see app/animate.py)")
         return 0
 
     exp = build_experiment(args.experiment, args)

@@ -143,9 +143,13 @@ def multi_step_pallas(grid, k, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows_n, cols_n = grid.shape
-    if rows_n * cols_n > 1024 * 1024:
+    # Measured scoped-VMEM footprint: ~19.4 B/cell (grid f32 + roll
+    # temporaries) against v5e's 16 MB scoped limit — a 1024x1024 grid
+    # needs 20.4 MB and fails AOT compile. Guard with margin.
+    if rows_n * cols_n > 640 * 1024:
         raise ValueError(f"{rows_n}x{cols_n} grid exceeds the VMEM-resident "
-                         "kernel; use multi_step")
+                         "kernel (~19.4 B/cell vs the 16 MB scoped limit); "
+                         "use multi_step or shard rows (parallel/gol_shard)")
     out = pl.pallas_call(
         _partial(_gol_pallas_kernel, rows_n=rows_n, cols_n=cols_n),
         grid_spec=pltpu.PrefetchScalarGridSpec(

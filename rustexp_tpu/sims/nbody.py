@@ -231,6 +231,22 @@ class NBodyExperiment:
             f"{state.n} Bodies, dt {state.dt}, {algo}"
         )
 
+    def _trace_replan(self, state: NBodyState) -> None:
+        """Announce the routing/K consequence of a theta change — a K(theta)
+        change means the next step recompiles the BH kernel (new static
+        near-set width), which would otherwise look like a silent stall."""
+        from ..core.trace import trace_info
+
+        backend, block = self.select_backend(state.n, state.theta)
+        if backend == "brute":
+            trace_info(f"theta={state.theta:.2f}: routing to brute force")
+        else:
+            from ..ops import nbody_bh
+
+            k = nbody_bh.theta_to_k(state.theta, state.n // block)
+            trace_info(f"theta={state.theta:.2f}: block-BH K={k} exact "
+                       f"near blocks (recompiles on first step if K changed)")
+
     def handle_key(self, state: NBodyState, key: str) -> NBodyState:
         """Keys per reference RustNBodyExperiment.hs:81-98.
 
@@ -253,9 +269,11 @@ class NBodyExperiment:
             return state
         elif key == "A":
             state.theta = min(0.95, state.theta + 0.05)
+            self._trace_replan(state)
             return state
         elif key == "a":
             state.theta = max(0.0, state.theta - 0.05)
+            self._trace_replan(state)
             return state
         else:
             return state
