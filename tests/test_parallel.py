@@ -278,3 +278,16 @@ def test_production_paths_multihost_mesh():
                                             axis=ax), jnp.float32(0.01))
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gol_sharded_pallas_big_grid():
+    """2048^2 exceeds the single-chip VMEM-resident kernel (~640k cells);
+    row-sharding brings each k-halo-padded local block back under the
+    limit — the scaling story for grids beyond one chip's VMEM."""
+    rng = np.random.default_rng(9)
+    g = jnp.asarray(rng.integers(0, 2, (2048, 2048)).astype(np.int32))
+    mesh = _mesh(8)
+    step = gol_shard.make_multi_step(mesh, k=4, backend="pallas")
+    got = np.asarray(step(gol_shard.shard_grid(g, mesh)))
+    want = np.asarray(gol_stencil.multi_step(g, 4, "roll"))
+    np.testing.assert_array_equal(got, want)
