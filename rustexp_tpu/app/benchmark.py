@@ -88,12 +88,12 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "auto"
     eye = camera.camera_eye(mesh.mesh_camera(mesh_idx), TICK)
     if backend == "auto":
         backend = "queue" if m.num_tris >= QUEUE_MIN_TRIS else "pallas"
-    cap = spans = None
+    cap = spans = rows = None
     queue = None
     if backend == "queue":
         queue = pp.build_scene_queue(scene, eye, W, H)
     elif backend != "xla":
-        cap, spans = pp.suggest_binning(scene, eye, W, H)
+        cap, spans, rows = pp.suggest_binning(scene, eye, W, H)
     K = FRAMES_PER_DISPATCH
     eyes = jnp.broadcast_to(jnp.asarray(eye), (K, 3))
 
@@ -104,7 +104,7 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "auto"
                 scene, e, TICK, w=W, h=H, mode=pp.MODE_FILL,
                 per_pixel=per_pixel, shader_idx=SHADER, bg_idx=0,
                 show_cm=False, backend=backend, raster_cap=cap,
-                raster_spans=spans, raster_queue=queue,
+                raster_spans=spans, raster_rows=rows, raster_queue=queue,
                 return_overflow=True,
             )
             return c, jnp.sum(fb, dtype=jnp.uint32) + stale.astype(jnp.uint32)

@@ -259,8 +259,8 @@ def make_sharded_queue_render(
         bg = jnp.broadcast_to(row[:, None], (band_h, w))
 
         if per_pixel:
-            fb = pp._shade_compacted(queue, scene, z, maskp, lin, eye, tick,
-                                     shader_idx, bg, w, band_h, True,
+            fb = pp._shade_compacted(queue.rows, scene, z, maskp, lin, eye,
+                                     tick, shader_idx, bg, w, band_h, True,
                                      y0=y_org, full_h=h)
         else:
             wr = 1.0 / lin[0]

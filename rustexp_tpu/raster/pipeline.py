@@ -319,7 +319,7 @@ def shade_gbuffer(
 def raster_and_shade_pallas(
     scene: Scene, setup, vp, world, n_world, colors, eye, tick,
     *, w: int, h: int, per_pixel: bool, shader_idx: int, bg_fb, cap=None,
-    spans=None,
+    spans=None, rows_cap=None,
 ):
     """Zero-gather Fill path: attributes interpolate inside the tile kernel.
 
@@ -358,6 +358,27 @@ def raster_and_shade_pallas(
 
     z, mask, lin, overflow = raster_attrs_pallas(setup, extra, n2, n3, h, w,
                                                  cap=cap, spans=spans)
+
+    if per_pixel and rows_cap is not None:
+        # Compact the shade to occupied 128-wide row-blocks, exactly like
+        # the queue backend's _shade_compacted — for small meshes (Cube:
+        # 12 triangles, bins backend) the two full-frame cubemap gathers
+        # dominate the frame, and the kernel's own coverage mask bounds
+        # the rows that can need shading. rows_cap is a static shape; if a
+        # frame covers more row-blocks than it, the extras would silently
+        # keep the background, so that raises `overflow` (re-bin signal),
+        # same contract as the bin capacity itself.
+        from ..ops.raster_queue import TILE_W as SHADE_W
+
+        ntx_rb = w // SHADE_W
+        occ = mask.reshape(h * ntx_rb, SHADE_W).any(axis=1)     # [h*ntx]
+        rows = jnp.nonzero(occ, size=rows_cap,
+                           fill_value=h * ntx_rb)[0].astype(jnp.int32)
+        overflow = overflow | (jnp.count_nonzero(occ) > rows_cap)
+        fb = _shade_compacted(rows, scene, z, mask, lin, eye, tick,
+                              shader_idx, bg_fb, w, h, ray_world=False)
+        return fb, overflow
+
     wr = 1.0 / lin[0]
 
     def ch_last(ps):
@@ -452,7 +473,7 @@ def raster_and_shade_queue(
     z, mask, lin, stale = raster_attrs_queue(queue, setup, tuple(extra),
                                              n2, n3, h, w)
     if per_pixel:
-        fb = _shade_compacted(queue, scene, z, mask, lin, eye, tick,
+        fb = _shade_compacted(queue.rows, scene, z, mask, lin, eye, tick,
                               shader_idx, bg_fb, w, h, ray_world)
         return fb, stale
 
@@ -554,21 +575,22 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
     return bgv.at[rows_s].set(merged, mode="drop").reshape(h, w)
 
 
-def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
+def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
                      shader_idx: int, bg_fb, w: int, h: int, ray_world: bool,
                      y0=0, full_h: int | None = None):
     """Deferred per-pixel shading over OCCUPIED row-blocks only.
 
     The per-pixel cubemap lookups are row gathers at ~2.6 ns/index — the
     single largest cost of a P frame when run over all w*h pixels. Pixels
-    outside the queue's occupied row-block list (pair-AABB y-extents per
-    tile, frozen at build) can have no coverage, so the planes are
-    compacted to [r_cap, tile_w] via a row gather (~1-2k indices), shaded
-    there, and scattered back over the background. At killeroo only ~25%
-    of row-blocks are occupied: the gathers, shader math, and gamma pack
-    all shrink accordingly. (The reference never shades uncovered pixels
-    either — its shader call sits inside the depth-test branch,
-    rasterizer.rs:1722-1744.)
+    outside the occupied row-block list `rows` (int32 [Rc], entries >=
+    h*ntx are padding; the queue backend passes its build-frozen
+    pair-AABB list, the bins backend a mask-derived per-frame list) can
+    have no coverage, so the planes are compacted to [r_cap, tile_w] via
+    a row gather (~1-2k indices), shaded there, and scattered back over
+    the background. At killeroo only ~25% of row-blocks are occupied:
+    the gathers, shader math, and gamma pack all shrink accordingly.
+    (The reference never shades uncovered pixels either — its shader
+    call sits inside the depth-test branch, rasterizer.rs:1722-1744.)
 
     `y0` / `full_h` support band-sharded frames (parallel/raster_shard.py):
     `h` is then the local band height while the ray-unprojection matrix
@@ -580,7 +602,6 @@ def _shade_compacted(queue, scene: Scene, z, mask, lin, eye, tick,
     from ..ops.raster_queue import TILE_W
 
     ntx = w // TILE_W
-    rows = queue.rows                                       # [Rc]
     padr = rows >= h * ntx
     rows_g = jnp.where(padr, 0, rows)
 
@@ -712,25 +733,48 @@ def _max_bin_count_jit(scene: Scene, eye, w: int, h: int):
 @partial(jax.jit, static_argnames=("w", "h"))
 def _bin_stats_jit(scene: Scene, eye, w: int, h: int):
     from ..ops.raster_pallas import max_bin_count, max_spans
+    from ..ops.raster_queue import TILE_W as SHADE_W
 
     vp, _, _ = transform_vertices(scene, eye, w, h)
     setup = setup_triangles(vp, scene.tris, w, h)
     sx, sy = max_spans(setup, h, w)
-    return max_bin_count(setup, h, w), sx, sy
+
+    # Upper bound on occupied 128-wide shade row-blocks: a row-block
+    # (y, tx) can hold coverage only if some valid triangle's clipped AABB
+    # intersects it. One [h,T]x[T,ntx] matmul (MXU) beats any scatter.
+    ntx = -(-w // SHADE_W)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    occ_y = ((ys[:, None] >= setup.min_y[None, :])
+             & (ys[:, None] < setup.max_y[None, :]))          # [h, T]
+    tx0 = jnp.arange(ntx, dtype=jnp.int32) * SHADE_W
+    occ_x = ((tx0[None, :] < setup.max_x[:, None])
+             & (tx0[None, :] + SHADE_W > setup.min_x[:, None])
+             & setup.valid[:, None])                          # [T, ntx]
+    occ = jnp.dot(occ_y.astype(jnp.float32), occ_x.astype(jnp.float32)) > 0
+    return max_bin_count(setup, h, w), sx, sy, jnp.count_nonzero(occ)
 
 
 def suggest_binning(scene: Scene, eye, w: int, h: int, margin: float = 1.3):
-    """(cap, (m_x, m_y)) for the pairs-sort binner, from one device trip.
+    """(cap, (m_x, m_y), rows_cap) for the bins backend, one device trip.
 
     The span margin (+1 tile each way) absorbs camera motion; bin_pairs
-    still reports `overflow` if a frame ever exceeds it.
+    still reports `overflow` if a frame ever exceeds it. rows_cap bounds
+    the occupied shade row-blocks (render_frame's raster_rows) with the
+    same margin, from the AABB union — a superset of any coverage mask —
+    or None when >=75% of the frame's row-blocks can be occupied:
+    compacting then costs more in row gathers + scatter-back than the
+    skipped shade saves (measured: CubeP, 70% coverage, 1236 -> 1324 us).
     """
-    mc, sx, sy = jax.device_get(
+    mc, sx, sy, rc = jax.device_get(
         _bin_stats_jit(scene, jnp.asarray(eye, jnp.float32), w, h)
     )
     need = max(512, int(int(mc) * margin))
     cap = (need + 511) // 512 * 512
-    return cap, (int(sx) + 1, int(sy) + 1)
+    ntx = -(-w // 128)
+    rows_cap = min(h * ntx, max(64, (int(int(rc) * margin) + 63) // 64 * 64))
+    if rows_cap >= (h * ntx * 3) // 4:
+        rows_cap = None
+    return cap, (int(sx) + 1, int(sy) + 1), rows_cap
 
 
 @partial(jax.jit, static_argnames=("w", "h"))
@@ -792,7 +836,8 @@ def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:
     jax.jit,
     static_argnames=(
         "w", "h", "mode", "per_pixel", "shader_idx", "bg_idx", "show_cm",
-        "backend", "raster_cap", "raster_spans", "return_overflow",
+        "backend", "raster_cap", "raster_spans", "raster_rows",
+        "return_overflow",
     ),
 )
 def render_frame(
@@ -810,6 +855,7 @@ def render_frame(
     backend: str = "auto",
     raster_cap: int | None = None,
     raster_spans: tuple | None = None,
+    raster_rows: int | None = None,
     raster_queue=None,
     return_overflow: bool = False,
 ):
@@ -862,7 +908,7 @@ def render_frame(
             fb, overflow = raster_and_shade_pallas(
                 scene, setup, vp, world, n_world, colors, eye, tick,
                 w=w, h=h, per_pixel=per_pixel, shader_idx=shader_idx, bg_fb=fb,
-                cap=raster_cap, spans=raster_spans,
+                cap=raster_cap, spans=raster_spans, rows_cap=raster_rows,
             )
         else:
             gb = raster_gbuffer_xla(setup, h, w)

@@ -84,7 +84,7 @@ class RasterizerExperiment:
         if backend == "queue":
             kw["raster_queue"] = data
         elif backend == "pallas" and isinstance(data, tuple):
-            kw["raster_cap"], kw["raster_spans"] = data
+            kw["raster_cap"], kw["raster_spans"], kw["raster_rows"] = data
         return kw
 
     def render(self, state: RasterState, w: int, h: int, tick: float = 0.0):

@@ -339,9 +339,29 @@ def test_overflow_is_loud():
 
 def test_suggest_binning_cpu():
     scene = pp.make_scene(mesh.make_sphere(10, 20), cubemap.make_procedural_set())
-    cap, (mx, my) = pp.suggest_binning(scene, camera.cam_orbit(0.3), W, H)
+    cap, (mx, my), rows = pp.suggest_binning(scene, camera.cam_orbit(0.3), W, H)
     assert cap % 512 == 0 and cap >= 512
     assert 1 <= mx <= 8 and 1 <= my <= 8
+    assert rows is None or 64 <= rows < H * (W // 128) * 3 // 4
+
+
+def test_bins_compacted_shade_parity():
+    """Bins backend with raster_rows (compacted per-pixel shade) is
+    bit-identical to its full-frame shade, and an undersized rows cap
+    raises overflow instead of silently dropping covered pixels."""
+    scene = pp.make_scene(mesh.make_sphere(12, 24), cubemap.make_procedural_set())
+    eye = camera.cam_orbit(0.3)
+    kw = dict(w=W, h=H, per_pixel=True, shader_idx=5, show_cm=False,
+              backend="pallas", return_overflow=True)
+    full, ov_full = pp.render_frame(scene, eye, 0.7, **kw)
+    _, _, rows = pp.suggest_binning(scene, eye, W, H)
+    if rows is None:  # high coverage: still exercise the compacted path
+        rows = H * (W // 128)
+    comp, ov_comp = pp.render_frame(scene, eye, 0.7, raster_rows=rows, **kw)
+    assert not bool(ov_full) and not bool(ov_comp)
+    assert np.array_equal(np.asarray(full), np.asarray(comp))
+    _, ov_tiny = pp.render_frame(scene, eye, 0.7, raster_rows=8, **kw)
+    assert bool(ov_tiny)
 
 
 def test_viewer_headless():
