@@ -58,6 +58,13 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
     the fused-kernel rate; reference analog gol.rs:115-167). Communication
     cost: one 2k-row exchange per k generations instead of 2 rows per
     generation.
+
+    backend "bits": same k-halo-padded scheme around the SWAR bit-packed
+    kernel (ops/gol_bits.py, 32 cells/uint32 word, ~27x the f32 kernels
+    at 1024^2+) — the fastest multi-chip path, and the only one that
+    scales past the SWAR kernel's single-chip 2048^2 VMEM ceiling (each
+    shard packs only its own band). The halo is rounded up to half the
+    bit-word so the padded block's row count stays a multiple of 32.
     """
 
     n_dev = axis_size(mesh, axis)
@@ -106,11 +113,32 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
                                             interpret=interpret)
         return lax.dynamic_slice_in_dim(out, halo, r, axis=0)
 
-    body = step_k_pallas if backend == "pallas" else step_k_roll
+    def step_k_bits(local):
+        from ..ops import gol_bits
+
+        r = local.shape[0]
+        # Round the halo up so the padded row count stays a multiple of
+        # the 32-bit word; the extra rows just absorb more generations.
+        halo = -(-k // (gol_bits.BITS // 2)) * (gol_bits.BITS // 2)
+        if r % gol_bits.BITS:
+            raise ValueError(f"shard rows {r} not a multiple of {gol_bits.BITS}")
+        if halo > r:
+            raise ValueError(f"k={k} exceeds shard rows {r}; lower k")
+        lo = lax.ppermute(local[-halo:, :], axis, fwd)
+        hi = lax.ppermute(local[:halo, :], axis, bwd)
+        padded = jnp.concatenate([lo, local, hi], axis=0)  # [r+2h, N]
+        packed = gol_bits.pack_rows(padded)
+        out = gol_bits.multi_step_packed(packed, jnp.int32(k),
+                                         interpret=interpret)
+        full = gol_bits.unpack_rows(out, dtype=local.dtype)
+        return lax.dynamic_slice_in_dim(full, halo, r, axis=0)
+
+    body = {"pallas": step_k_pallas, "bits": step_k_bits}.get(backend,
+                                                              step_k_roll)
     # check_rep off: pallas_call outputs carry no varying-mesh-axes info
     step = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
                      out_specs=P(axis, None),
-                     check_rep=backend != "pallas")
+                     check_rep=backend == "roll")
     return jax.jit(step)
 
 

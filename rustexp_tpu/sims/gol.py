@@ -72,7 +72,7 @@ class GoLState:
     grid: Any
     generations: int = 0
     steps_per_frame: int = 1
-    backend: str = "mxu"
+    backend: str = "auto"
     step_times: FrameTimes = field(default_factory=FrameTimes)
     key: Any = None
 
@@ -83,8 +83,12 @@ class GoLExperiment:
 
     def init(self, pattern: str = "ark", seed: int = 0, steps_per_frame: int = 1,
              n: int = GRID_WDH,
-             backend: str = "mxu"):
-        """Initial pattern 'ark' matches the reference (RustGoLExperiment.hs:54)."""
+             backend: str = "auto"):
+        """Initial pattern 'ark' matches the reference (RustGoLExperiment.hs:54).
+
+        backend "auto" picks the SWAR bit-packed kernel (ops/gol_bits.py)
+        when the grid supports it, else the MXU circulant form — all
+        backends are bit-identical, only throughput differs."""
         key = jax.random.PRNGKey(seed)
         grid = set_pattern(pattern_to_array(PATTERNS[pattern]), n)
         return GoLState(grid=grid, steps_per_frame=steps_per_frame, backend=backend, key=key)
@@ -94,10 +98,21 @@ class GoLExperiment:
 
         t0 = time.perf_counter()
         k = state.steps_per_frame
-        if state.backend == "pallas":
+        backend = state.backend
+        if backend == "auto":
+            from ..ops import gol_bits
+
+            r, c = state.grid.shape
+            supported = r % gol_bits.BITS == 0 and r * c <= gol_bits.MAX_CELLS
+            backend = "bits" if supported else "mxu"
+        if backend == "bits":
+            from ..ops import gol_bits
+
+            state.grid = gol_bits.multi_step_swar(state.grid, jnp.int32(k))
+        elif backend == "pallas":
             state.grid = gol_stencil.multi_step_pallas(state.grid, jnp.int32(k))
         else:
-            state.grid = gol_stencil.multi_step(state.grid, k, state.backend)
+            state.grid = gol_stencil.multi_step(state.grid, k, backend)
         state.grid.block_until_ready()
         state.step_times.push((time.perf_counter() - t0) / max(k, 1))
         state.generations += k

@@ -47,6 +47,54 @@ def test_backends_agree():
     np.testing.assert_array_equal(np.asarray(gp), np.asarray(g5_loop))
 
 
+def test_swar_pack_roundtrip():
+    from rustexp_tpu.ops import gol_bits
+
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.integers(0, 2, (64, 192)).astype(np.int32))
+    back = gol_bits.unpack_rows(gol_bits.pack_rows(g))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
+
+
+def test_swar_parity():
+    """The bit-packed SWAR kernel is bit-identical to the roll oracle,
+    including across the in-kernel unroll boundary and non-square grids."""
+    from rustexp_tpu.ops import gol_bits
+
+    rng = np.random.default_rng(4)
+    for shape, k in (((256, 256), 37), ((64, 384), 5), ((96, 160), 33)):
+        g = jnp.asarray(rng.integers(0, 2, shape).astype(np.uint8))
+        ref = g
+        for _ in range(k):
+            ref = gol_stencil.step_roll(ref)
+        out = gol_bits.multi_step_swar(g, jnp.int32(k))
+        assert out.dtype == g.dtype
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_swar_guard():
+    from rustexp_tpu.ops import gol_bits
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        gol_bits.multi_step_swar(jnp.zeros((33, 64), jnp.int32), jnp.int32(1))
+    with pytest.raises(ValueError):
+        gol_bits.multi_step_swar(jnp.zeros((4096, 4096), jnp.int32),
+                                 jnp.int32(1))
+
+
+def test_gol_sim_auto_backend():
+    """backend='auto' resolves to the SWAR kernel at the reference grid
+    size and evolves identically to the explicit mxu backend."""
+    exp = gol.GoLExperiment()
+    sa = exp.init(pattern="gun", backend="auto", steps_per_frame=8)
+    sm = exp.init(pattern="gun", backend="mxu", steps_per_frame=8)
+    sa = exp.step(sa)
+    sm = exp.step(sm)
+    np.testing.assert_array_equal(np.asarray(sa.grid), np.asarray(sm.grid))
+
+
 def test_glider_displacement():
     """A glider displaces by (+1,+1) (toward +x,+y in our layout) every 4 gens."""
     grid = gol.set_pattern(pattern_to_array(PATTERNS["glider"]))
