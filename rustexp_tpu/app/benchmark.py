@@ -302,7 +302,9 @@ def bench_nbody(n: int = 131072, steps_per_dispatch: int = 64, runs: int = 3,
 
     backend "bh" benches the block Barnes-Hut tree-code instead — the
     analog of the reference's default Barnes-Hut theta=0.85 path
-    (ops/nbody_bh.py: p90 force error vs brute ~6% at this config).
+    (ops/nbody_bh.py: p90 force error vs brute 0.63% at this config —
+    more accurate than the reference's own quadtree at matched theta,
+    see the module docstring's oracle cross-calibration).
     """
     import jax.numpy as jnp
     import numpy as np

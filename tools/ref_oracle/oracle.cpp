@@ -19,12 +19,14 @@
 //   oracle gol_step <grid.u8 in> <k> <grid.u8 out>               (gol.rs:32)
 //   oracle gol_draw <grid.u8> <w> <h> <fb.u32>                   (gol.rs:173)
 //   oracle nbody_step <n> <p.f32 5N in> <k> <dt> <p.f32 out>     (nbody.rs:107)
+//   oracle nbody_bh_step <n> <p.f32 in> <k> <theta> <dt> <p.f32 out> (nbody.rs:186)
 //   oracle nbody_draw <n> <p.f32> <w> <h> <fb.u32>               (nbody.rs:483)
 //   oracle rast <ref_root> <mesh_idx> <shader_idx> <env_idx> <bg_idx>
 //               <per_pixel> <tick> <w> <h> <fb.u32>              (rasterizer.rs:1891)
 //
 // Build: make -C tools/ref_oracle
 
+#include <cfloat>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -363,6 +365,152 @@ static void nb_step_brute(std::vector<Particle>& p, float dt) {
     p[i].vy += dt * fy[i] / p[i].m;
     p[i].px += dt * p[i].vx;
     p[i].py += dt * p[i].vy;
+  }
+}
+
+// Barnes-Hut quadtree (nb_step_barnes_hut, nbody.rs:186-480): the
+// reference's DEFAULT N-body algorithm. Exact semantics re-expressed with
+// an index pool instead of Box'd children:
+//   - root AABB = particle bounds, NOT squared (nbody.rs:384-410)
+//   - exterior nodes hold one merged particle; particles closer than EPS
+//     on both axes merge instead of splitting (nbody.rs:250-262)
+//   - add_mass: first mass copies position exactly; later masses blend
+//     the center of gravity (nbody.rs:306-323)
+//   - opening criterion s/d < theta with s = node WIDTH (x extent) and d
+//     the distance to the node's COM (nbody.rs:341-346)
+//   - self-interaction skipped by exact position equality at exterior
+//     nodes (nbody.rs:365); empty exteriors contribute zero
+//   - update: v += dt*f/m then p += dt*v (new velocity), then the
+//     runaway kill: |p| > VP_WDH*0.55 from the viewport origin on either
+//     axis zeroes velocity (nbody.rs:446-467)
+struct BHNode {
+  float x1, y1, x2, y2;
+  float px, py, m;
+  int child;  // pool index of 4 consecutive children; -1 = exterior
+};
+
+struct BHTree {
+  std::vector<BHNode> pool;
+
+  int new_node(float x1, float y1, float x2, float y2) {
+    pool.push_back(BHNode{x1, y1, x2, y2, 0.0f, 0.0f, 0.0f, -1});
+    return (int)pool.size() - 1;
+  }
+
+  void add_mass(int ni, float px, float py, float m) {
+    BHNode& n = pool[ni];
+    if (n.m == 0.0f) {
+      n.px = px;
+      n.py = py;
+      n.m = m;
+    } else {
+      float inv = 1.0f / (n.m + m);
+      n.px = (n.px * n.m + px * m) * inv;
+      n.py = (n.py * n.m + py * m) * inv;
+      n.m += m;
+    }
+  }
+
+  void create_children(int ni) {
+    float x1 = pool[ni].x1, y1 = pool[ni].y1;
+    float x2 = pool[ni].x2, y2 = pool[ni].y2;
+    float cx = (x1 + x2) * 0.5f, cy = (y1 + y2) * 0.5f;
+    int c0 = new_node(x1, cy, cx, y2);  // UL (nbody.rs:296-301 order)
+    new_node(cx, cy, x2, y2);           // UR
+    new_node(x1, y1, cx, cy);           // LL
+    new_node(cx, y1, x2, cy);           // LR
+    pool[ni].child = c0;
+  }
+
+  int quadrant(int ni, float x, float y) const {
+    const BHNode& n = pool[ni];
+    float cx = (n.x1 + n.x2) * 0.5f, cy = (n.y1 + n.y2) * 0.5f;
+    if (y < cy) return x < cx ? 2 : 3;  // LL : LR
+    return x < cx ? 0 : 1;              // UL : UR
+  }
+
+  void insert(int ni, float px, float py, float m, int depth) {
+    if (depth > 50) {
+      fprintf(stderr, "BH insert recursion limit\n");
+      exit(3);
+    }
+    if (pool[ni].child >= 0) {
+      add_mass(ni, px, py, m);
+      int q = quadrant(ni, px, py);
+      insert(pool[ni].child + q, px, py, m, depth + 1);
+      return;
+    }
+    bool too_close = std::fabs(pool[ni].px - px) < NB_EPS &&
+                     std::fabs(pool[ni].py - py) < NB_EPS;
+    if (pool[ni].m == 0.0f || too_close) {
+      add_mass(ni, px, py, m);
+    } else {
+      float opx = pool[ni].px, opy = pool[ni].py, om = pool[ni].m;
+      pool[ni].px = pool[ni].py = pool[ni].m = 0.0f;
+      create_children(ni);
+      insert(ni, opx, opy, om, depth + 1);
+      insert(ni, px, py, m, depth + 1);
+    }
+  }
+
+  void compute_force(int ni, float px, float py, float m, float theta,
+                     float* fx, float* fy) const {
+    const BHNode& n = pool[ni];
+    if (n.child >= 0) {
+      float s = n.x2 - n.x1;
+      float dx = n.px - px, dy = n.py - py;
+      float d = std::sqrt(dx * dx + dy * dy);
+      if (s / d < theta) {
+        nb_force(px, py, m, n.px, n.py, n.m, fx, fy);
+        return;
+      }
+      *fx = 0.0f;
+      *fy = 0.0f;
+      for (int i = 0; i < 4; ++i) {
+        float ax, ay;
+        compute_force(n.child + i, px, py, m, theta, &ax, &ay);
+        *fx += ax;
+        *fy += ay;
+      }
+      return;
+    }
+    if ((n.px == px && n.py == py) || n.m == 0.0f) {
+      *fx = 0.0f;
+      *fy = 0.0f;
+      return;
+    }
+    nb_force(px, py, m, n.px, n.py, n.m, fx, fy);
+  }
+};
+
+static void nb_step_bh(std::vector<Particle>& p, float theta, float dt) {
+  if (theta == 0.0f) {  // nbody.rs:195-200
+    nb_step_brute(p, dt);
+    return;
+  }
+  float x1 = FLT_MAX, y1 = FLT_MAX, x2 = -FLT_MAX, y2 = -FLT_MAX;
+  for (const Particle& q : p) {
+    x1 = q.px < x1 ? q.px : x1;
+    y1 = q.py < y1 ? q.py : y1;
+    x2 = q.px > x2 ? q.px : x2;
+    y2 = q.py > y2 ? q.py : y2;
+  }
+  BHTree t;
+  t.pool.reserve(p.size() * 4);
+  t.new_node(x1, y1, x2, y2);
+  for (const Particle& q : p) t.insert(0, q.px, q.py, q.m, 0);
+  for (Particle& q : p) {
+    float fx, fy;
+    t.compute_force(0, q.px, q.py, q.m, theta, &fx, &fy);
+    q.vx += dt * fx / q.m;
+    q.vy += dt * fy / q.m;
+    q.px += dt * q.vx;
+    q.py += dt * q.vy;
+    if (std::fabs(0.0f - q.px) > NB_VP_WDH * 0.55f ||
+        std::fabs(0.0f - q.py) > NB_VP_WDH * 0.55f) {
+      q.vx = 0.0f;
+      q.vy = 0.0f;
+    }
   }
 }
 
@@ -1331,6 +1479,18 @@ int main(int argc, char** argv) {
     memcpy(p.data(), raw.data(), (size_t)n * sizeof(Particle));
     for (int i = 0; i < k; ++i) nb_step_brute(p, dt);
     write_file(argv[6], p.data(), p.size() * sizeof(Particle));
+    return 0;
+  }
+  if (cmd == "nbody_bh_step" && argc == 8) {
+    long n = atol(argv[2]);
+    std::vector<uint8_t> raw = read_file(argv[3]);
+    int k = atoi(argv[4]);
+    float theta = (float)atof(argv[5]);
+    float dt = (float)atof(argv[6]);
+    std::vector<Particle> p((size_t)n);
+    memcpy(p.data(), raw.data(), (size_t)n * sizeof(Particle));
+    for (int i = 0; i < k; ++i) nb_step_bh(p, theta, dt);
+    write_file(argv[7], p.data(), p.size() * sizeof(Particle));
     return 0;
   }
   if (cmd == "nbody_draw" && argc == 7) {
