@@ -268,14 +268,21 @@ def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
     k = generations_per_dispatch
 
     if backend == "bits" and (n % gol_bits.BITS or n * n > gol_bits.MAX_CELLS):
-        backend = "mxu"  # beyond the SWAR kernel; stream through the MXU
+        # beyond the one-dispatch SWAR kernel: banded SWAR if rows allow,
+        # else stream through the MXU circulant path
+        backend = "bits_banded" if n % 512 == 0 else "mxu"
     if backend == "pallas" and n * n > 640 * 1024:
         backend = "mxu"  # beyond the VMEM-resident f32 kernel (gol_stencil)
+
+    if backend == "bits_banded":
+        k = min(k, 128)  # halo depth h = ceil(k/16)*16 must fit the band
 
     @jax.jit
     def run(g):
         if backend == "bits":
             out = gol_bits.multi_step_swar(g, jnp.int32(k))
+        elif backend == "bits_banded":
+            out = gol_bits.multi_step_swar_banded(g, k, band=512)
         elif backend == "pallas":
             out = gol_stencil.multi_step_pallas(g, jnp.int32(k))
         else:

@@ -154,6 +154,49 @@ def multi_step_swar(grid, k, interpret: bool | None = None):
         raise ValueError(
             f"{r}x{c} grid not supported by the SWAR kernel "
             f"(rows % {BITS} == 0 and cells <= {MAX_CELLS}); use "
-            "gol_stencil.multi_step or shard rows (parallel/gol_shard)")
+            "multi_step_swar_banded, gol_stencil.multi_step, or shard "
+            "rows (parallel/gol_shard)")
     out = multi_step_packed(pack_rows(grid), k, interpret=interpret)
     return unpack_rows(out, dtype=grid.dtype)
+
+
+@partial(jax.jit, static_argnames=("k", "band", "interpret"))
+def multi_step_swar_banded(grid, k: int, band: int = 512,
+                           interpret: bool | None = None):
+    """SWAR generations for grids PAST the single-dispatch VMEM ceiling.
+
+    Single-chip analog of parallel/gol_shard's "bits" backend: the grid
+    is cut into row bands, each band is padded with h = ceil(k/16)*16
+    halo rows from its torus neighbors, and vmap runs the packed kernel
+    over all bands in one dispatch (vmap over pallas_call becomes a
+    leading grid dimension — each band's packed block plus adder
+    temporaries is VMEM-resident on its own). The kernel's wrong y-wrap
+    at band edges contaminates one row per generation inward; h halo
+    rows absorb all k generations, so the interior is bit-exact
+    (tests/test_gol.py::test_swar_banded_parity). Redundant halo compute
+    is 2h/band per band (~6% at band=512, k<=256... h<=256); unlike
+    MAX_CELLS there is no grid-size ceiling — 4096^2 and 8192^2 run at
+    SWAR rates where the MXU circulant path decays as 1/n.
+
+    k is STATIC here (it sets the halo depth); band must divide rows,
+    and band % 32 == 0, h <= band (k <= band generations per dispatch).
+    """
+    r, c = grid.shape
+    if r % band or band % BITS:
+        raise ValueError(f"rows {r} need band | rows and band % {BITS} == 0")
+    h = -(-int(k) // (BITS // 2)) * (BITS // 2)
+    if h > band:
+        raise ValueError(f"k={k} needs h={h} > band={band}; raise band")
+    nb = r // band
+    bands = grid.reshape(nb, band, c)
+    lo = jnp.roll(bands, 1, axis=0)[:, -h:, :]    # rows above each band
+    hi = jnp.roll(bands, -1, axis=0)[:, :h, :]    # rows below
+    padded = jnp.concatenate([lo, bands, hi], axis=1)  # [nb, band+2h, c]
+    packed = jax.vmap(pack_rows)(padded)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    stepped = jax.vmap(
+        lambda p: multi_step_packed(p, jnp.int32(k), interpret=interpret)
+    )(packed)
+    full = jax.vmap(partial(unpack_rows, dtype=grid.dtype))(stepped)
+    return full[:, h:h + band, :].reshape(r, c)

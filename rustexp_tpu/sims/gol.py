@@ -103,12 +103,24 @@ class GoLExperiment:
             from ..ops import gol_bits
 
             r, c = state.grid.shape
-            supported = r % gol_bits.BITS == 0 and r * c <= gol_bits.MAX_CELLS
-            backend = "bits" if supported else "mxu"
+            if r % gol_bits.BITS:
+                backend = "mxu"
+            elif r * c <= gol_bits.MAX_CELLS:
+                backend = "bits"
+            else:
+                # past the single-dispatch VMEM ceiling: banded SWAR
+                # (row bands with redundant halo compute, still ~30x the
+                # MXU circulant path) when a band divides the rows
+                backend = "bits_banded" if r % 512 == 0 else "mxu"
         if backend == "bits":
             from ..ops import gol_bits
 
             state.grid = gol_bits.multi_step_swar(state.grid, jnp.int32(k))
+        elif backend == "bits_banded":
+            from ..ops import gol_bits
+
+            state.grid = gol_bits.multi_step_swar_banded(state.grid, k,
+                                                         band=512)
         elif backend == "pallas":
             state.grid = gol_stencil.multi_step_pallas(state.grid, jnp.int32(k))
         else:

@@ -72,6 +72,21 @@ def test_swar_parity():
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_swar_banded_parity():
+    """The banded SWAR path (row bands + redundant halo compute, for
+    grids past the single-dispatch VMEM ceiling) is bit-identical to the
+    roll oracle, including halo depths that round up to the 16-row
+    half-word and k == h == band edge cases."""
+    from rustexp_tpu.ops import gol_bits
+
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.integers(0, 2, (256, 192)).astype(np.int32))
+    for k, band in ((1, 64), (8, 64), (17, 32), (32, 128)):
+        ref = np.asarray(gol_stencil.multi_step(g, k, "roll"))
+        got = np.asarray(gol_bits.multi_step_swar_banded(g, k, band=band))
+        np.testing.assert_array_equal(got, ref, err_msg=f"k={k} band={band}")
+
+
 def test_swar_guard():
     from rustexp_tpu.ops import gol_bits
 
