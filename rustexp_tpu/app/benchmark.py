@@ -268,21 +268,36 @@ def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
     k = generations_per_dispatch
 
     if backend == "bits" and (n % gol_bits.BITS or n * n > gol_bits.MAX_CELLS):
-        # beyond the one-dispatch SWAR kernel: banded SWAR if rows allow,
-        # else stream through the MXU circulant path
-        backend = "bits_banded" if n % 512 == 0 else "mxu"
+        # beyond the one-dispatch SWAR kernel: banded SWAR when a feasible
+        # band exists, else stream through the MXU circulant path
+        if n % gol_bits.BITS == 0:
+            try:
+                gol_bits.pick_plan(n, n, k)
+                backend = "bits_banded"
+            except ValueError:
+                backend = "mxu"
+        else:
+            backend = "mxu"
     if backend == "pallas" and n * n > 640 * 1024:
         backend = "mxu"  # beyond the VMEM-resident f32 kernel (gol_stencil)
 
     if backend == "bits_banded":
-        k = min(k, 128)  # halo depth h = ceil(k/16)*16 must fit the band
+        # halo depth caps generations per dispatch; chain dispatches
+        # inside ONE jit to amortize the tunnel RTT like the k=65536
+        # single-dispatch path does
+        band, kk = gol_bits.pick_plan(n, n, k)
+        d = max(1, k // kk)
+        k = kk * d
 
     @jax.jit
     def run(g):
         if backend == "bits":
             out = gol_bits.multi_step_swar(g, jnp.int32(k))
         elif backend == "bits_banded":
-            out = gol_bits.multi_step_swar_banded(g, k, band=512)
+            out = jax.lax.fori_loop(
+                0, d,
+                lambda _, x: gol_bits.multi_step_swar_banded(x, kk, band=band),
+                g)
         elif backend == "pallas":
             out = gol_stencil.multi_step_pallas(g, jnp.int32(k))
         else:

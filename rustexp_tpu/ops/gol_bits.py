@@ -98,17 +98,30 @@ def _gen_bits(p, wn: int, cn: int):
     return eq3 | (p & eq4)
 
 
-def _swar_kernel(steps_ref, grid_ref, out_ref, *, wn: int, cn: int):
+def _pick_unroll(words: int) -> int:
+    """Generations unrolled inside the kernel's fori_loop body.
+
+    Unrolling hides loop bookkeeping when a generation is only a few
+    vreg-ops (256^2 packed = 2 vregs); on large blocks a generation is
+    thousands of vreg-ops, bookkeeping is invisible, and a 32x-unrolled
+    body only multiplies Mosaic's scheduling work (measured: ~300 s
+    compile for a [80, 4096] block at unroll 32). Budget ~64 unrolled
+    vreg-iterations per loop body."""
+    return max(1, min(_UNROLL, 65536 // max(words, 1)))
+
+
+def _swar_kernel(steps_ref, grid_ref, out_ref, *, wn: int, cn: int,
+                 unroll: int):
     steps = steps_ref[0]
 
     def body_u(_, g):
-        for _ in range(_UNROLL):
+        for _ in range(unroll):
             g = _gen_bits(g, wn, cn)
         return g
 
     g = grid_ref[:]
-    g = lax.fori_loop(0, steps // _UNROLL, body_u, g)
-    out_ref[:] = lax.fori_loop(0, steps % _UNROLL,
+    g = lax.fori_loop(0, steps // unroll, body_u, g)
+    out_ref[:] = lax.fori_loop(0, steps % unroll,
                                lambda _, x: _gen_bits(x, wn, cn), g)
 
 
@@ -123,7 +136,7 @@ def multi_step_packed(packed, k, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     wn, cn = packed.shape
     return pl.pallas_call(
-        partial(_swar_kernel, wn=wn, cn=cn),
+        partial(_swar_kernel, wn=wn, cn=cn, unroll=_pick_unroll(wn * cn)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
@@ -160,43 +173,107 @@ def multi_step_swar(grid, k, interpret: bool | None = None):
     return unpack_rows(out, dtype=grid.dtype)
 
 
+# Per-band packed block budget for the banded path, in uint32 words of
+# (band + 2h)/32 x cols. Measured on v5e (tools/sweep_gol_banded.py):
+# 1.25 MB blocks compile and run (4096^2 band=2048 k=256, 8192^2
+# band=1024 k=128 — the measured throughput optima); 1.5 MB blocks fail
+# TPU compile on the ~8 adder temporaries vs the 16 MB scoped-VMEM limit.
+VMEM_BLOCK_WORDS = 320 * 1024
+
+
+def pick_band(rows: int, cols: int, k: int,
+              budget: int | None = None) -> int:
+    """Largest feasible band for multi_step_*_banded at halo depth k.
+
+    Feasible: band | rows, band % 32 == 0, h = ceil(k/32)*32 <= band, and
+    the padded packed block (band + 2h)/32 x cols stays under the
+    measured VMEM budget. Raises if no band qualifies (grid too wide for
+    this k — lower k or shard rows via parallel/gol_shard)."""
+    if budget is None:
+        budget = VMEM_BLOCK_WORDS
+    hw = -(-int(k) // BITS)
+    best = 0
+    for bw in range(hw, rows // BITS + 1):
+        band = bw * BITS
+        if rows % band == 0 and (bw + 2 * hw) * cols <= budget:
+            best = band
+    if not best:
+        raise ValueError(
+            f"no feasible band for {rows}x{cols} at k={k}; lower k or "
+            "shard rows (parallel/gol_shard)")
+    return best
+
+
+def pick_plan(rows: int, cols: int, k: int,
+              budget: int | None = None) -> tuple[int, int]:
+    """(band, kk): the banded dispatch plan for up to k generations.
+
+    kk = generations per dispatch, capped at 256 (the measured optimum's
+    halo depth) and halved until a feasible band exists — very wide grids
+    need shallower halos to fit a packed block in VMEM. Callers chain
+    ceil(k/kk) dispatches. Raises like pick_band when even kk=1 fails."""
+    kk = max(1, min(int(k), 256))
+    while True:
+        try:
+            return pick_band(rows, cols, kk, budget=budget), kk
+        except ValueError:
+            if kk == 1:
+                raise
+            kk //= 2
+
+
 @partial(jax.jit, static_argnames=("k", "band", "interpret"))
-def multi_step_swar_banded(grid, k: int, band: int = 512,
-                           interpret: bool | None = None):
-    """SWAR generations for grids PAST the single-dispatch VMEM ceiling.
+def multi_step_packed_banded(packed, k: int, band: int = 2048,
+                             interpret: bool | None = None):
+    """k SWAR generations on a packed grid PAST the VMEM ceiling.
 
-    Single-chip analog of parallel/gol_shard's "bits" backend: the grid
-    is cut into row bands, each band is padded with h = ceil(k/16)*16
-    halo rows from its torus neighbors, and vmap runs the packed kernel
-    over all bands in one dispatch (vmap over pallas_call becomes a
-    leading grid dimension — each band's packed block plus adder
-    temporaries is VMEM-resident on its own). The kernel's wrong y-wrap
-    at band edges contaminates one row per generation inward; h halo
-    rows absorb all k generations, so the interior is bit-exact
-    (tests/test_gol.py::test_swar_banded_parity). Redundant halo compute
-    is 2h/band per band (~6% at band=512, k<=256... h<=256); unlike
-    MAX_CELLS there is no grid-size ceiling — 4096^2 and 8192^2 run at
-    SWAR rates where the MXU circulant path decays as 1/n.
+    Single-chip analog of parallel/gol_shard's "bits" backend: the packed
+    grid is cut into row bands, each band is padded with h = ceil(k/32)*32
+    halo rows (= whole uint32 words — no bit surgery) from its torus
+    neighbors, and vmap runs the packed kernel over all bands in one
+    dispatch (vmap over pallas_call becomes a leading grid dimension —
+    each band's packed block plus adder temporaries is VMEM-resident on
+    its own). The kernel's wrong y-wrap at band edges contaminates one
+    row per generation inward; h halo rows absorb all k generations, so
+    the interior is bit-exact (tests/test_gol.py::test_swar_banded_parity).
+    Redundant halo compute is 2h/band per band; unlike MAX_CELLS there is
+    no grid-size ceiling — 4096^2 and 8192^2 run at SWAR rates where the
+    MXU circulant path decays as 1/n.
 
-    k is STATIC here (it sets the halo depth); band must divide rows,
-    and band % 32 == 0, h <= band (k <= band generations per dispatch).
+    k is STATIC here (it sets the halo depth); band must divide the rows,
+    band % 32 == 0, and h <= band (k <= band generations per dispatch).
     """
-    r, c = grid.shape
-    if r % band or band % BITS:
-        raise ValueError(f"rows {r} need band | rows and band % {BITS} == 0")
-    h = -(-int(k) // (BITS // 2)) * (BITS // 2)
-    if h > band:
-        raise ValueError(f"k={k} needs h={h} > band={band}; raise band")
-    nb = r // band
-    bands = grid.reshape(nb, band, c)
-    lo = jnp.roll(bands, 1, axis=0)[:, -h:, :]    # rows above each band
-    hi = jnp.roll(bands, -1, axis=0)[:, :h, :]    # rows below
-    padded = jnp.concatenate([lo, bands, hi], axis=1)  # [nb, band+2h, c]
-    packed = jax.vmap(pack_rows)(padded)
+    wn, c = packed.shape
+    bw = band // BITS
+    if band % BITS or wn % bw:
+        raise ValueError(f"band {band} needs band % {BITS} == 0 and "
+                         f"band/{BITS} | {wn} packed rows")
+    hw = -(-int(k) // BITS)  # halo words; h = 32*hw rows >= k
+    if hw > bw:
+        raise ValueError(f"k={k} needs {hw} halo words > band={band}; "
+                         "raise band")
+    nb = wn // bw
+    blocks = packed.reshape(nb, bw, c)
+    lo = jnp.roll(blocks, 1, axis=0)[:, -hw:, :]   # words above each band
+    hi = jnp.roll(blocks, -1, axis=0)[:, :hw, :]   # words below
+    padded = jnp.concatenate([lo, blocks, hi], axis=1)  # [nb, bw+2hw, c]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     stepped = jax.vmap(
         lambda p: multi_step_packed(p, jnp.int32(k), interpret=interpret)
-    )(packed)
-    full = jax.vmap(partial(unpack_rows, dtype=grid.dtype))(stepped)
-    return full[:, h:h + band, :].reshape(r, c)
+    )(padded)
+    return stepped[:, hw:hw + bw, :].reshape(wn, c)
+
+
+@partial(jax.jit, static_argnames=("k", "band", "interpret"))
+def multi_step_swar_banded(grid, k: int, band: int = 2048,
+                           interpret: bool | None = None):
+    """Cell-grid wrapper for multi_step_packed_banded: pack the whole
+    grid once, band in packed space (halos are whole words), unpack once.
+    Same drop-in contract as multi_step_swar, for grids past MAX_CELLS."""
+    r, c = grid.shape
+    if r % BITS or r % band:
+        raise ValueError(f"rows {r} need rows % {BITS} == 0 and band | rows")
+    out = multi_step_packed_banded(pack_rows(grid), k, band=band,
+                                   interpret=interpret)
+    return unpack_rows(out, dtype=grid.dtype)

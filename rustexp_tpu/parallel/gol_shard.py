@@ -37,7 +37,7 @@ def axis_size(mesh: Mesh, axis) -> int:
 
 
 def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
-                    backend: str = "roll"):
+                    backend: str = "roll", vmem_budget: int | None = None):
     """Build a jitted k-generation step over a row-sharded [N, N] grid.
 
     `axis` may be one mesh axis name or a tuple like ("dcn", "ici") for
@@ -65,6 +65,11 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
     scales past the SWAR kernel's single-chip 2048^2 VMEM ceiling (each
     shard packs only its own band). The halo is rounded up to half the
     bit-word so the padded block's row count stays a multiple of 32.
+    When even one padded SHARD exceeds the per-dispatch VMEM budget
+    (huge grids on few devices), the shard bands internally via
+    ops/gol_bits.multi_step_packed_banded — grid size is then bounded
+    only by HBM. `vmem_budget` (words) overrides the measured default,
+    mainly so tests can force the banded composition at small sizes.
     """
 
     n_dev = axis_size(mesh, axis)
@@ -128,8 +133,26 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
         hi = lax.ppermute(local[:halo, :], axis, bwd)
         padded = jnp.concatenate([lo, local, hi], axis=0)  # [r+2h, N]
         packed = gol_bits.pack_rows(padded)
-        out = gol_bits.multi_step_packed(packed, jnp.int32(k),
-                                         interpret=interpret)
+        budget = (gol_bits.VMEM_BLOCK_WORDS if vmem_budget is None
+                  else vmem_budget)
+        if packed.shape[0] * packed.shape[1] <= budget:
+            out = gol_bits.multi_step_packed(packed, jnp.int32(k),
+                                             interpret=interpret)
+        else:
+            # the padded shard exceeds the per-dispatch VMEM ceiling:
+            # band WITHIN the shard. Banding reproduces torus evolution
+            # of the padded block bit-exactly (its own internal halos
+            # absorb the band-edge wrap), so the composition inherits
+            # step_k_bits's contamination argument unchanged; chain
+            # banded dispatches when k exceeds a feasible halo depth.
+            rows = padded.shape[0]
+            out, left = packed, k
+            while left > 0:
+                band, kk = gol_bits.pick_plan(rows, padded.shape[1], left,
+                                              budget=budget)
+                out = gol_bits.multi_step_packed_banded(
+                    out, kk, band=band, interpret=interpret)
+                left -= kk
         full = gol_bits.unpack_rows(out, dtype=local.dtype)
         return lax.dynamic_slice_in_dim(full, halo, r, axis=0)
 

@@ -109,9 +109,13 @@ class GoLExperiment:
                 backend = "bits"
             else:
                 # past the single-dispatch VMEM ceiling: banded SWAR
-                # (row bands with redundant halo compute, still ~30x the
-                # MXU circulant path) when a band divides the rows
-                backend = "bits_banded" if r % 512 == 0 else "mxu"
+                # (row bands with redundant halo compute, still ~100x
+                # the MXU circulant path) when a feasible band exists
+                try:
+                    gol_bits.pick_plan(r, c, k)
+                    backend = "bits_banded"
+                except ValueError:
+                    backend = "mxu"
         if backend == "bits":
             from ..ops import gol_bits
 
@@ -119,8 +123,16 @@ class GoLExperiment:
         elif backend == "bits_banded":
             from ..ops import gol_bits
 
-            state.grid = gol_bits.multi_step_swar_banded(state.grid, k,
-                                                         band=512)
+            # halo depth caps generations per dispatch at 256 (deeper
+            # halos shrink the feasible band below its measured optimum);
+            # chain dispatches for larger steps_per_frame
+            r, c = state.grid.shape
+            left = k
+            while left > 0:
+                band, kk = gol_bits.pick_plan(r, c, left)
+                state.grid = gol_bits.multi_step_swar_banded(
+                    state.grid, kk, band=band)
+                left -= kk
         elif backend == "pallas":
             state.grid = gol_stencil.multi_step_pallas(state.grid, jnp.int32(k))
         else:

@@ -73,18 +73,24 @@ def test_swar_parity():
 
 
 def test_swar_banded_parity():
-    """The banded SWAR path (row bands + redundant halo compute, for
-    grids past the single-dispatch VMEM ceiling) is bit-identical to the
-    roll oracle, including halo depths that round up to the 16-row
-    half-word and k == h == band edge cases."""
+    """The banded SWAR path (packed-space row bands + whole-word torus
+    halos, for grids past the single-dispatch VMEM ceiling) is
+    bit-identical to the roll oracle, including halo depths that round
+    up to the next word (k=17, k=33) and k == h == band edge cases."""
     from rustexp_tpu.ops import gol_bits
 
     rng = np.random.default_rng(5)
     g = jnp.asarray(rng.integers(0, 2, (256, 192)).astype(np.int32))
-    for k, band in ((1, 64), (8, 64), (17, 32), (32, 128)):
+    for k, band in ((1, 64), (8, 64), (17, 32), (32, 128), (33, 64),
+                    (64, 64), (40, 256)):
         ref = np.asarray(gol_stencil.multi_step(g, k, "roll"))
         got = np.asarray(gol_bits.multi_step_swar_banded(g, k, band=band))
         np.testing.assert_array_equal(got, ref, err_msg=f"k={k} band={band}")
+        # the packed-space form is the same computation
+        got_p = gol_bits.unpack_rows(gol_bits.multi_step_packed_banded(
+            gol_bits.pack_rows(g), k, band=band))
+        np.testing.assert_array_equal(np.asarray(got_p), ref,
+                                      err_msg=f"packed k={k} band={band}")
 
 
 def test_swar_guard():

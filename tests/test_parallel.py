@@ -219,6 +219,26 @@ def test_gol_sharded_bits_past_single_chip_ceiling():
     np.testing.assert_array_equal(got, want)
 
 
+def test_gol_sharded_bits_bands_within_shard():
+    """When even one halo-padded SHARD exceeds the per-dispatch VMEM
+    budget, step_k_bits bands within the shard (multi_step_packed_banded
+    on the padded block). A tiny injected budget forces that path at test
+    size; banding reproduces torus evolution of the padded block
+    bit-exactly, so the result must still match the roll oracle."""
+    rng = np.random.default_rng(45)
+    g = jnp.asarray(rng.integers(0, 2, (1024, 256)).astype(np.int32))
+    mesh = _mesh(8)  # 128 rows/shard; padded = 160 (k=8) / 192 (k=32) rows
+    for k in (8, 32):
+        # padded packed blocks are 1280 / 1536 words — both over the 1000
+        # budget, and the only feasible band is 32 rows (768-word blocks),
+        # giving 5-6 bands per shard
+        step = gol_shard.make_multi_step(mesh, k=k, backend="bits",
+                                         vmem_budget=1000)
+        got = np.asarray(step(gol_shard.shard_grid(g, mesh)))
+        want = np.asarray(gol_stencil.multi_step(g, k, "roll"))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+
+
 def test_nbody_sharded_block_bh_matches_single_device():
     """VERDICT r2 #3b: the sharded N-body must cover the production block
     Barnes-Hut path, not just brute force. The local-target-slice
