@@ -281,23 +281,14 @@ def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
     if backend == "pallas" and n * n > 640 * 1024:
         backend = "mxu"  # beyond the VMEM-resident f32 kernel (gol_stencil)
 
-    if backend == "bits_banded":
-        # halo depth caps generations per dispatch; chain dispatches
-        # inside ONE jit to amortize the tunnel RTT like the k=65536
-        # single-dispatch path does
-        band, kk = gol_bits.pick_plan(n, n, k)
-        d = max(1, k // kk)
-        k = kk * d
-
     @jax.jit
     def run(g):
         if backend == "bits":
             out = gol_bits.multi_step_swar(g, jnp.int32(k))
         elif backend == "bits_banded":
-            out = jax.lax.fori_loop(
-                0, d,
-                lambda _, x: gol_bits.multi_step_swar_banded(x, kk, band=band),
-                g)
+            # one jit: pack once, chain every banded dispatch in-graph
+            # (pick_plan chooses band + generations per dispatch)
+            out = gol_bits.multi_step_swar_auto(g, k)
         elif backend == "pallas":
             out = gol_stencil.multi_step_pallas(g, jnp.int32(k))
         else:

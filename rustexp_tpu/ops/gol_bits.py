@@ -181,21 +181,31 @@ def multi_step_swar(grid, k, interpret: bool | None = None):
 VMEM_BLOCK_WORDS = 320 * 1024
 
 
+def _pad8(words: int) -> int:
+    """VMEM blocks tile rows in (8, 128) vregs: a packed block's word-row
+    count rounds UP to a multiple of 8 sublanes — both for the VMEM
+    footprint and for the vector ops that run on it. Measured: a
+    [20, 16384] block (1.25 MB nominal) fails TPU compile at 17.45 MB
+    scoped VMEM while [40, 8192] (same words, 40 % 8 == 0) runs."""
+    return -(-words // 8) * 8
+
+
 def pick_band(rows: int, cols: int, k: int,
               budget: int | None = None) -> int:
     """Largest feasible band for multi_step_*_banded at halo depth k.
 
     Feasible: band | rows, band % 32 == 0, h = ceil(k/32)*32 <= band, and
-    the padded packed block (band + 2h)/32 x cols stays under the
-    measured VMEM budget. Raises if no band qualifies (grid too wide for
-    this k — lower k or shard rows via parallel/gol_shard)."""
+    the SUBLANE-PADDED packed block ceil((band + 2h)/32 / 8)*8 x cols
+    stays under the measured VMEM budget. Raises if no band qualifies
+    (grid too wide for this k — lower k or shard rows via
+    parallel/gol_shard)."""
     if budget is None:
         budget = VMEM_BLOCK_WORDS
     hw = -(-int(k) // BITS)
     best = 0
     for bw in range(hw, rows // BITS + 1):
         band = bw * BITS
-        if rows % band == 0 and (bw + 2 * hw) * cols <= budget:
+        if rows % band == 0 and _pad8(bw + 2 * hw) * cols <= budget:
             best = band
     if not best:
         raise ValueError(
@@ -206,20 +216,42 @@ def pick_band(rows: int, cols: int, k: int,
 
 def pick_plan(rows: int, cols: int, k: int,
               budget: int | None = None) -> tuple[int, int]:
-    """(band, kk): the banded dispatch plan for up to k generations.
+    """(band, kk): the cheapest banded dispatch plan for k generations.
 
-    kk = generations per dispatch, capped at 256 (the measured optimum's
-    halo depth) and halved until a feasible band exists — very wide grids
-    need shallower halos to fit a packed block in VMEM. Callers chain
-    ceil(k/kk) dispatches. Raises like pick_band when even kk=1 fails."""
+    kk = generations per dispatch (halo depth h = ceil(kk/32)*32). The
+    per-generation cost of a plan is modeled as
+
+        pad8((band + 2h)/32) / (band/32)   redundant-halo + sublane-pad
+      + 2.0 / kk                           per-dispatch HBM concat/slice
+
+    (the dispatch term: one banded dispatch copies the packed grid for
+    halo concat + interior slice, ~2 generation-equivalents of HBM
+    traffic, amortized over kk). All feasible (band, kk<=min(k,256))
+    pairs are scored; ties inside 1% prefer larger kk (fewer dispatches
+    also means fewer queue round-trips off-graph). Reproduces the
+    measured optima: (2048, 256)-class plans at 4096^2, (1024, 128) at
+    8192^2, (256, 128) at 16384^2. Raises when even kk=1 is infeasible
+    (shard rows instead)."""
+    best = None  # (cost, -kk, band)
     kk = max(1, min(int(k), 256))
-    while True:
-        try:
-            return pick_band(rows, cols, kk, budget=budget), kk
-        except ValueError:
-            if kk == 1:
-                raise
-            kk //= 2
+    while kk >= 1:
+        hw = -(-kk // BITS)
+        for bw in range(hw, rows // BITS + 1):
+            band = bw * BITS
+            feasible = (rows % band == 0
+                        and _pad8(bw + 2 * hw) * cols
+                        <= (VMEM_BLOCK_WORDS if budget is None else budget))
+            if not feasible:
+                continue
+            cost = _pad8(bw + 2 * hw) / bw + 2.0 / kk
+            if best is None or cost < best[0] * 0.99:
+                best = (cost, kk, band)
+        kk //= 2
+    if best is None:
+        raise ValueError(
+            f"no feasible banded plan for {rows}x{cols} at any kk<=256; "
+            "shard rows (parallel/gol_shard)")
+    return best[2], best[1]
 
 
 @partial(jax.jit, static_argnames=("k", "band", "interpret"))
@@ -250,8 +282,8 @@ def multi_step_packed_banded(packed, k: int, band: int = 2048,
                          f"band/{BITS} | {wn} packed rows")
     hw = -(-int(k) // BITS)  # halo words; h = 32*hw rows >= k
     if hw > bw:
-        raise ValueError(f"k={k} needs {hw} halo words > band={band}; "
-                         "raise band")
+        raise ValueError(f"k={k} needs h={hw * BITS} halo rows > "
+                         f"band={band} rows; raise band")
     nb = wn // bw
     blocks = packed.reshape(nb, bw, c)
     lo = jnp.roll(blocks, 1, axis=0)[:, -hw:, :]   # words above each band
@@ -276,4 +308,44 @@ def multi_step_swar_banded(grid, k: int, band: int = 2048,
         raise ValueError(f"rows {r} need rows % {BITS} == 0 and band | rows")
     out = multi_step_packed_banded(pack_rows(grid), k, band=band,
                                    interpret=interpret)
+    return unpack_rows(out, dtype=grid.dtype)
+
+
+def multi_step_packed_chain(packed, k: int, interpret: bool | None = None,
+                            budget: int | None = None):
+    """k banded generations on a packed grid, chaining dispatches.
+
+    The one shared plan-and-chain entry point (sims/gol, app/benchmark,
+    parallel/gol_shard all route here): pick_plan chooses (band, kk),
+    lax.fori_loop chains the k // kk full dispatches IN-GRAPH (one jit,
+    no per-dispatch host round trip), and a single smaller dispatch on
+    the same band absorbs any remainder. Stays in packed space
+    throughout — pack/unpack is the caller's one-time cost, not a
+    per-dispatch one. Raises pick_plan's ValueError when no band fits."""
+    wn, c = packed.shape
+    band, kk = pick_plan(wn * BITS, c, k, budget=budget)
+    full, rem = divmod(int(k), kk)
+    if full:
+        packed = lax.fori_loop(
+            0, full,
+            lambda _, p: multi_step_packed_banded(p, kk, band=band,
+                                                  interpret=interpret),
+            packed)
+    if rem:
+        packed = multi_step_packed_banded(packed, rem, band=band,
+                                          interpret=interpret)
+    return packed
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def multi_step_swar_auto(grid, k: int, interpret: bool | None = None):
+    """Drop-in k-generation step for ANY 32-row-aligned grid size: the
+    single-dispatch SWAR kernel under MAX_CELLS, the banded chain past
+    it. Raises when no banded plan fits (shard rows instead)."""
+    r, c = grid.shape
+    if r % BITS:
+        raise ValueError(f"rows {r} not a multiple of {BITS}")
+    if r * c <= MAX_CELLS:
+        return multi_step_swar(grid, jnp.int32(k), interpret=interpret)
+    out = multi_step_packed_chain(pack_rows(grid), k, interpret=interpret)
     return unpack_rows(out, dtype=grid.dtype)

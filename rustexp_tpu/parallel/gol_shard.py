@@ -135,7 +135,7 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
         packed = gol_bits.pack_rows(padded)
         budget = (gol_bits.VMEM_BLOCK_WORDS if vmem_budget is None
                   else vmem_budget)
-        if packed.shape[0] * packed.shape[1] <= budget:
+        if gol_bits._pad8(packed.shape[0]) * packed.shape[1] <= budget:
             out = gol_bits.multi_step_packed(packed, jnp.int32(k),
                                              interpret=interpret)
         else:
@@ -143,16 +143,11 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
             # band WITHIN the shard. Banding reproduces torus evolution
             # of the padded block bit-exactly (its own internal halos
             # absorb the band-edge wrap), so the composition inherits
-            # step_k_bits's contamination argument unchanged; chain
-            # banded dispatches when k exceeds a feasible halo depth.
-            rows = padded.shape[0]
-            out, left = packed, k
-            while left > 0:
-                band, kk = gol_bits.pick_plan(rows, padded.shape[1], left,
-                                              budget=budget)
-                out = gol_bits.multi_step_packed_banded(
-                    out, kk, band=band, interpret=interpret)
-                left -= kk
+            # step_k_bits's contamination argument unchanged; the chain
+            # helper splits k over dispatches when it exceeds a feasible
+            # halo depth.
+            out = gol_bits.multi_step_packed_chain(
+                packed, k, interpret=interpret, budget=budget)
         full = gol_bits.unpack_rows(out, dtype=local.dtype)
         return lax.dynamic_slice_in_dim(full, halo, r, axis=0)
 

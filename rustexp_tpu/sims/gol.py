@@ -123,16 +123,9 @@ class GoLExperiment:
         elif backend == "bits_banded":
             from ..ops import gol_bits
 
-            # halo depth caps generations per dispatch at 256 (deeper
-            # halos shrink the feasible band below its measured optimum);
-            # chain dispatches for larger steps_per_frame
-            r, c = state.grid.shape
-            left = k
-            while left > 0:
-                band, kk = gol_bits.pick_plan(r, c, left)
-                state.grid = gol_bits.multi_step_swar_banded(
-                    state.grid, kk, band=band)
-                left -= kk
+            # pick_plan chooses (band, generations-per-dispatch); the
+            # chain helper packs once and runs every dispatch in-graph
+            state.grid = gol_bits.multi_step_swar_auto(state.grid, k)
         elif backend == "pallas":
             state.grid = gol_stencil.multi_step_pallas(state.grid, jnp.int32(k))
         else:

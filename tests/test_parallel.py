@@ -226,14 +226,14 @@ def test_gol_sharded_bits_bands_within_shard():
     size; banding reproduces torus evolution of the padded block
     bit-exactly, so the result must still match the roll oracle."""
     rng = np.random.default_rng(45)
-    g = jnp.asarray(rng.integers(0, 2, (1024, 256)).astype(np.int32))
-    mesh = _mesh(8)  # 128 rows/shard; padded = 160 (k=8) / 192 (k=32) rows
+    g = jnp.asarray(rng.integers(0, 2, (2048, 256)).astype(np.int32))
+    mesh = _mesh(8)  # 256 rows/shard; padded = 288 (k=8) / 320 (k=32) rows
     for k in (8, 32):
-        # padded packed blocks are 1280 / 1536 words — both over the 1000
-        # budget, and the only feasible band is 32 rows (768-word blocks),
-        # giving 5-6 bands per shard
+        # padded shard blocks are 16 sublane-padded word-rows x 256 =
+        # 4096 words — over the 3000 budget — while 96/160-row bands fit
+        # (8 padded word-rows = 2048 words), giving 2-3 bands per shard
         step = gol_shard.make_multi_step(mesh, k=k, backend="bits",
-                                         vmem_budget=1000)
+                                         vmem_budget=3000)
         got = np.asarray(step(gol_shard.shard_grid(g, mesh)))
         want = np.asarray(gol_stencil.multi_step(g, k, "roll"))
         np.testing.assert_array_equal(got, want, err_msg=f"k={k}")

@@ -1,12 +1,12 @@
 """Sweep band/k for the banded SWAR GoL kernel on real hardware.
 
 The banded path (ops/gol_bits.multi_step_swar_banded) pays 2h/band
-redundant halo compute per band (h = ceil(k/16)*16). At the shipped
-band=512, k=128 that is 50%; larger bands shrink the fraction but grow
-the per-band VMEM block ((band+2h)/32 words x cols x ~8 adder copies).
-This sweep measures us/gen for each feasible (n, band, k) to pick
-per-size defaults. Compile failures (VMEM overflow) are caught and
-reported as such.
+redundant halo compute per band (h = ceil(k/32)*32 whole-word rows, and
+the packed block's word-rows round up to 8 sublanes); larger bands
+shrink the fraction but grow the per-band VMEM block (x ~8 adder
+copies). This sweep measures us/gen for each feasible (n, band, k);
+gol_bits.pick_plan's cost model was fit to its output. Compile failures
+(VMEM overflow) are caught and reported as such.
 
 Run on the TPU: python tools/sweep_gol_banded.py
 """
@@ -55,10 +55,12 @@ def main():
             if n % band:
                 continue
             for k in (64, 128, 256):
-                h = -(-k // 16) * 16
+                # whole-word halos + sublane padding, matching gol_bits
+                h = -(-k // 32) * 32
                 if h > band:
                     continue
-                blk_mb = (band + 2 * h) / 32 * n * 4 / 2**20
+                words = gol_bits._pad8(band // 32 + 2 * (h // 32)) * n
+                blk_mb = words * 4 / 2**20
                 try:
                     us = bench(n, band, k) * 1e6
                 except Exception as e:  # VMEM overflow at compile
