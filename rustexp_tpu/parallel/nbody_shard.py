@@ -99,6 +99,9 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256, k_near: int = 9):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        # the Morton sort's Pallas path carries no varying-mesh-axes
+        # info on its outputs (same as gol_shard's kernels)
+        check_rep=False,
     )
     def step(pxs, pys, vxs, vys, ms, dt):
         # 1. gather the full particle set
@@ -112,8 +115,12 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256, k_near: int = 9):
         nb_loc = B // n_dev
         assert n % block == 0 and B % n_dev == 0
 
-        # 2. replicated sort + aggregates (identical on every device)
-        px, py, m, vx, vy = morton_sort(px, py, m, vx, vy)
+        # 2. replicated sort + aggregates (identical on every device);
+        # the sort's Pallas path needs interpret mode off-TPU, keyed by
+        # the MESH platform (see gol_shard's note on sitecustomize)
+        px, py, m, vx, vy = morton_sort(
+            px, py, m, vx, vy,
+            interpret=mesh.devices.flat[0].platform != "tpu")
         xb = px.reshape(B, block)
         yb = py.reshape(B, block)
         mb = m.reshape(B, block)

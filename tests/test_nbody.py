@@ -286,3 +286,25 @@ def test_viewer_raw_key_routing():
     th0 = st.theta
     st = exp.handle_key(st, "a"); assert st.theta == th0 - 0.05
     st = exp.handle_key(st, "A"); assert abs(st.theta - th0) < 1e-9
+
+
+def test_morton_sort_bitonic_parity():
+    """morton_sort's Pallas bitonic route (ops/sort_bitonic.py) must be
+    BIT-IDENTICAL to the argsort route — same stable order, so flipping
+    nbody_bh.USE_BITONIC_SORT can never change physics. Power-of-two and
+    non-power-of-two (fallback) sizes both covered."""
+    from rustexp_tpu.ops import nbody_bh
+
+    key = jax.random.PRNGKey(11)
+    for n in (1024, 4096):
+        px, py, vx, vy, m = nbody.stable_orbits(key, n)
+        a = nbody_bh.morton_sort(px, py, m, vx, vy, use_bitonic=False)
+        b = nbody_bh.morton_sort(px, py, m, vx, vy, use_bitonic=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # non-power-of-two silently falls back to argsort
+    px, py, vx, vy, m = nbody.stable_orbits(key, 768)
+    b = nbody_bh.morton_sort(px, py, m, vx, vy, use_bitonic=True)
+    a = nbody_bh.morton_sort(px, py, m, vx, vy, use_bitonic=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
