@@ -74,6 +74,13 @@ def main(argv=None):
                         "one real chip, use JAX_PLATFORMS=cpu XLA_FLAGS="
                         "--xla_force_host_platform_device_count=N for a "
                         "virtual mesh")
+    p.add_argument("--grid", type=int, default=0, metavar="N",
+                   help="gol: N x N grid instead of the reference's 256 "
+                        "(the SWAR/banded kernels hold ~1e12 cells/s up "
+                        "to 16384^2 on one chip)")
+    p.add_argument("--steps-per-frame", type=int, default=0, metavar="K",
+                   help="gol: fuse K generations per rendered frame into "
+                        "one on-device dispatch chain")
     args = p.parse_args(argv)
 
     if args.devices > 1:
@@ -116,8 +123,13 @@ def main(argv=None):
 
         state = load_state(args.load_state, exp)
         print(f"resumed from {args.load_state}")
+    elif args.experiment == "gol" and args.grid:
+        state = exp.init(n=args.grid,
+                         steps_per_frame=args.steps_per_frame or 1)
     else:
         state = exp.init()
+        if args.experiment == "gol" and args.steps_per_frame:
+            state.steps_per_frame = args.steps_per_frame
     for k in args.keys:
         state = exp.handle_key(state, k)
 

@@ -141,8 +141,9 @@ class GoLExperiment:
     def status(self, state: GoLState) -> str:
         _, med, _, _ = state.step_times.stats()
         gps = 1.0 / med if med > 0 else 0.0
+        n = state.grid.shape[0]
         return (
-            f"{GRID_WDH}x{GRID_WDH} Grid, {state.generations} Gens, "
+            f"{n}x{n} Grid, {state.generations} Gens, "
             f"{med * 1000:.2f}ms, GPS: {gps:.0f}, x{state.steps_per_frame} | "
             f"[R]nd [G]un [A]corn [F]ill ar[K] [T/Y]steps"
         )
