@@ -12,6 +12,7 @@ still under construction.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -58,7 +59,56 @@ def bench_sine():
     }
 
 
+def _probe_backend(timeout_s: int = 180):
+    """Backend liveness probe in a subprocess with a hard timeout.
+
+    The axon (remote-TPU tunnel) backend HANGS indefinitely inside
+    device initialization when the tunnel relay is down (observed: the
+    relay process dies and every tunnel port refuses connections; a bare
+    `jax.devices()` then never returns). A hung bench is worse than a
+    failed one — probe first, fail loudly and fast.
+    """
+    import subprocess
+
+    # Re-pin platforms from the env inside the probe: the terminal's
+    # sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+    # start, so a plain env var would still probe (and hang on) the dead
+    # tunnel even when the caller asked for JAX_PLATFORMS=cpu.
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "print(jax.default_backend())")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True)
+        backend = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else None
+        return backend if out.returncode == 0 else None
+    except subprocess.TimeoutExpired:
+        return None
+
+
 def main():
+    backend = _probe_backend()
+    if backend is None:
+        print(json.dumps({
+            "metric": "backend_unavailable",
+            "value": 0,
+            "unit": "error",
+            "vs_baseline": None,
+            "error": "jax backend init hung/failed (TPU tunnel down?) — "
+                     "no measurement taken; see BENCH history for real "
+                     "numbers from this tree",
+        }))
+        sys.exit(1)
+    print(f"# backend: {backend}", file=sys.stderr)
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit platform request past the sitecustomize pin
+        # (same dance as tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     try:
         result = bench_rasterizer()
     except Exception as e:  # raster suite not ready yet — fall back

@@ -83,6 +83,17 @@ def main(argv=None):
                         "one on-device dispatch chain")
     args = p.parse_args(argv)
 
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit platform request even when the host's
+        # sitecustomize force-pins jax_platforms at interpreter start
+        # (observed on the dev terminal: env var alone silently lands on
+        # the remote TPU — or hangs when its tunnel is down).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.devices > 1:
         from .multidev import run_multidevice
 
