@@ -55,6 +55,36 @@ ROW_MARGIN = 2  # rows of camera-drift headroom baked into Queue.rows/ylim.
 # margin 8 cost HeadP ~340 us, margin 4 ~170); 2 still absorbs 2 px of
 # drift before a rebuild — interactive orbits move <1 px/frame in y
 
+# Route the pair-key sort (~1 ms of the ~2.4 ms in-graph rebuild at
+# killeroo — the moving-camera frame's largest build line item) through
+# the Pallas bitonic network (ops/sort_bitonic.py) instead of XLA's sort.
+# Key-only: the network's carried index makes it stable, and build_queue
+# only consumes the sorted keys. Bit-identical to jnp.sort by
+# construction (tests/test_raster.py::test_queue_build_bitonic_parity);
+# OFF pending on-hardware validation of the sorter (same gate story as
+# nbody_bh.USE_BITONIC_SORT — flip only after tools/validate_bitonic.py
+# confirms parity + speedup on a real chip).
+USE_BITONIC_SORT = False
+
+
+def _sort_keys(flat, big, use_bitonic: bool | None = None):
+    """Ascending sort of int32 pair keys; `big` is the invalid sentinel
+    (strictly greater than every valid key) already present in `flat`."""
+    if use_bitonic is None:
+        use_bitonic = USE_BITONIC_SORT
+    n = flat.shape[0]
+    if use_bitonic:
+        from .sort_bitonic import sort_kv
+
+        pow2 = 1 << (n - 1).bit_length()
+        if pow2 >= 256:
+            padded = jnp.full((pow2,), big, flat.dtype).at[:n].set(flat)
+            skey, _ = sort_kv(padded, [])
+            # Keep the original length: every pad entry equals `big` and
+            # sorts to the tail, so the prefix is exactly sort(flat).
+            return skey[:n]
+    return jnp.sort(flat)
+
 # int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y
 _I_CH = 11
 _F_CH = 7  # bias0 bias1 bias2 z0 z10 z20 inv_a2  (+ 3*(n2+n3) attr channels)
@@ -131,7 +161,8 @@ def build_queue(
     tri_id = jnp.broadcast_to(
         jnp.arange(T, dtype=jnp.int32)[:, None, None], tile_id.shape)
     big = jnp.int32(n_tiles * T)
-    skey = jnp.sort(jnp.where(ok, tile_id * T + tri_id, big).reshape(-1))
+    skey = _sort_keys(jnp.where(ok, tile_id * T + tri_id, big).reshape(-1),
+                      big)
 
     bounds = jnp.searchsorted(
         skey, jnp.arange(n_tiles + 1, dtype=jnp.int32) * T).astype(jnp.int32)

@@ -298,6 +298,33 @@ class TestQueue:
             assert not bool(stale)
             assert np.array_equal(a, np.asarray(b)), f"per_pixel={ppx}"
 
+    def test_queue_build_bitonic_parity(self):
+        # The gated bitonic pair-key sort must build a bit-identical
+        # Queue. Called EAGERLY both times: build_queue reads the module
+        # flag at trace time, so a jitted call would hit the cached
+        # XLA-sort trace and the comparison would be vacuous.
+        from rustexp_tpu.ops import raster_queue as rq
+        from rustexp_tpu.ops.raster_setup import setup_triangles
+
+        scene = pp.make_scene(mesh.make_sphere(8, 16),
+                              cubemap.make_procedural_set())
+        eye = jnp.asarray(camera.cam_orbit(0.7))
+        vp, _, _ = pp.transform_vertices(scene, eye, W, H)
+        s = setup_triangles(vp, scene.tris, W, H)
+        stats = tuple(int(x) for x in rq.queue_stats(s, H, W))
+        caps = rq.suggest_queue_config(stats)
+        kw = dict(s_cap=caps[0], m_y=caps[1], m_x=caps[2], t_cap=caps[3])
+        qa = rq.build_queue(s, H, W, **kw)
+        old = rq.USE_BITONIC_SORT
+        rq.USE_BITONIC_SORT = True
+        try:
+            qb = rq.build_queue(s, H, W, **kw)
+        finally:
+            rq.USE_BITONIC_SORT = old
+        for f in qa._fields:
+            a, b = np.asarray(getattr(qa, f)), np.asarray(getattr(qb, f))
+            assert np.array_equal(a, b), f"Queue.{f} diverged"
+
     def test_queue_stale_on_camera_jump(self):
         scene = pp.make_scene(mesh.make_sphere(8, 16),
                               cubemap.make_procedural_set())
