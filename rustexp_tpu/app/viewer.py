@@ -263,6 +263,14 @@ def main(argv=None):
     p.add_argument("--start", type=int, default=2,
                    help="starting experiment index (0 GoL, 1 NBody, 2 Raster)")
     args = p.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit platform request past a sitecustomize that
+        # force-pins jax_platforms at interpreter start (see app/cli.py).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     run_viewer(args.size, args.fps, args.frames, args.start)
     return 0
 
