@@ -124,6 +124,34 @@ def jittered_scene(seed: int, amp: float):
     return pp.make_scene(jm, cubemap.make_procedural_set())
 
 
+def test_sharded_queue_matches_single_device_on_jittered_mesh():
+    # The production multi-chip path on irregular geometry: per-band
+    # queues + integer band translation must reproduce the single-device
+    # queue render bit-exactly even for slivers crossing band boundaries.
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from rustexp_tpu.parallel import raster_shard
+
+    scene = jittered_scene(3, 0.12)
+    eye = jnp.asarray(camera.cam_orbit(0.5))
+    queue1 = pp.build_scene_queue(scene, eye, W, H)
+    want, stale1 = pp.render_frame(scene, eye, 0.5, w=W, h=H, shader_idx=5,
+                                   show_cm=False, per_pixel=True,
+                                   backend="queue", raster_queue=queue1,
+                                   return_overflow=True)
+    assert not bool(stale1)
+    mesh_dev = Mesh(np.array(jax.devices()[:4]), axis_names=("rows",))
+    queues = raster_shard.build_band_queues(scene, eye, w=W, h=H, n_dev=4)
+    queues = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh_dev, P("rows"))),
+        queues)
+    render = raster_shard.make_sharded_queue_render(
+        mesh_dev, scene, eye, w=W, h=H, per_pixel=True, shader_idx=5)
+    got, stale = render(scene, queues, eye, jnp.float32(0.5))
+    assert not bool(stale)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_queue_matches_pallas_on_jittered_meshes():
     # The production queue backend against the binned-tile kernel on
     # deformed geometry, both shading modes, bit-exact. Queue caps are
