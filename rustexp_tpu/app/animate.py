@@ -76,9 +76,19 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
     for i, c0 in enumerate(range(0, n_frames, CHUNK_FRAMES)):
         ec = eyes[c0 : c0 + CHUNK_FRAMES]
         tc = ticks[c0 : c0 + CHUNK_FRAMES].astype(np.float32)
+        live = len(ec)
+        if live < CHUNK_FRAMES:
+            # Pad the tail chunk to the static scan length: a shorter
+            # array is a NEW shape, and the full-scan recompile (seconds;
+            # ~14 s through the remote tunnel) would land inside the
+            # "sustained" timing. Pad frames repeat the last eye and are
+            # sliced off below.
+            pad = CHUNK_FRAMES - live
+            ec = np.concatenate([ec, np.repeat(ec[-1:], pad, axis=0)])
+            tc = np.concatenate([tc, np.repeat(tc[-1:], pad, axis=0)])
         t0 = time.perf_counter()
         ov, fbs = chunk(scene, jnp.asarray(ec), jnp.asarray(tc))
-        fbs = np.asarray(fbs)
+        fbs = np.asarray(fbs)[:live]
         if i > 0 or n_frames <= CHUNK_FRAMES:
             # First chunk's wall time is dominated by the one-off XLA
             # compile of the scan; report sustained chunks only.

@@ -46,7 +46,7 @@ def _mesh(n_dev: int, axis: str):
 
 def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
                     out: str, overlay: bool = True,
-                    steps_per_frame: int = 8):
+                    steps_per_frame: int = 8, grid: int = 0):
     """Run `frames` sharded sim/render rounds; returns per-frame seconds.
 
     All work (including single-device render helpers) is pinned to the
@@ -81,11 +81,17 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         from ..sims.gol import GRID_WDH, gol_render, set_pattern
         from ..assets.gol_patterns import PATTERNS, pattern_to_array
 
-        grid = set_pattern(pattern_to_array(PATTERNS["ark"]), GRID_WDH)
-        grid = grid.astype(jnp.int32)
+        gw = grid or GRID_WDH  # --grid N forwards here (CLI contract)
+        g0 = set_pattern(pattern_to_array(PATTERNS["ark"]), gw)
+        g0 = g0.astype(jnp.int32)
+        # "bits" (SWAR) for big grids — the only backend that scales past
+        # the per-shard VMEM budget; the reference-size 256^2 keeps the
+        # fused f32 kernel whose 32-row shard minimum would reject tiny
+        # shards on wide meshes.
+        backend = "bits" if gw >= 32 * n_dev and gw > GRID_WDH else "pallas"
         step = gol_shard.make_multi_step(mesh, k=steps_per_frame,
-                                         backend="pallas")
-        g = gol_shard.shard_grid(grid, mesh)
+                                         backend=backend)
+        g = gol_shard.shard_grid(g0, mesh)
         gens = 0
         for i in range(frames):
             t0 = time.perf_counter()
@@ -95,9 +101,9 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             times.append(dt)
             gens += steps_per_frame
             fb = gol_render(g.astype(jnp.uint8), jnp.zeros(w), jnp.zeros(h))
-            cells = GRID_WDH * GRID_WDH * steps_per_frame / dt
-            present(i, fb, f"{GRID_WDH}x{GRID_WDH} Grid, {gens} Gens, "
-                           f"{n_dev} dev, {cells:.3g} cells/s")
+            cells = gw * gw * steps_per_frame / dt
+            present(i, fb, f"{gw}x{gw} Grid, {gens} Gens, "
+                           f"{n_dev} dev [{backend}], {cells:.3g} cells/s")
         return times
 
     if experiment == "nbody":
@@ -107,7 +113,12 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         block = 256
         n = block * 8 * n_dev          # B = 8*n_dev blocks, divisible
         px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), n)
-        step = nbody_shard.make_step_bh(mesh, block=block, k_near=9)
+        # Calibrated K(theta) — k_near=9 predates the d/s recalibration
+        # (theta_to_k: ceil(19/theta^2); 9 measured ~10x worse p90 error)
+        from ..ops.nbody_bh import theta_to_k
+
+        step = nbody_shard.make_step_bh(mesh, block=block,
+                                        k_near=theta_to_k(0.85, n // block))
         state = nbody_shard.shard_particles((px, py, vx, vy, m), mesh)
         for i in range(frames):
             t0 = time.perf_counter()

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 
 import numpy as np
 
@@ -27,8 +28,17 @@ import numpy as np
 _TRANSIENT = {"step_times", "frame_times", "_scene_cache"}
 
 
-def save_state(path: str, state) -> None:
-    """Write an experiment state dataclass to `path` (npz)."""
+def save_state(path: str, state) -> str:
+    """Write an experiment state dataclass to `path`; returns the real path.
+
+    np.savez appends ".npz" to extensionless paths, which would break the
+    save->load round trip (`--save-state /tmp/st` wrote /tmp/st.npz while
+    `--load-state /tmp/st` opened /tmp/st) — normalize up front and return
+    the path actually written so callers print the truth.
+    """
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
     arrays = {}
     scalars = {}
     for f in dataclasses.fields(state):
@@ -44,6 +54,7 @@ def save_state(path: str, state) -> None:
     meta = json.dumps({"type": type(state).__name__, "scalars": scalars})
     arrays["__meta__"] = np.frombuffer(meta.encode(), np.uint8)
     np.savez_compressed(path, **arrays)
+    return path
 
 
 def load_state(path: str, experiment):
@@ -55,6 +66,9 @@ def load_state(path: str, experiment):
     """
     import jax.numpy as jnp
 
+    path = str(path)
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path += ".npz"  # accept the extensionless alias save_state took
     data = np.load(path)
     meta = json.loads(bytes(bytearray(np.asarray(data["__meta__"]))))
     state = experiment.init()

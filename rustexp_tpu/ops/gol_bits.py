@@ -275,6 +275,10 @@ def multi_step_packed_banded(packed, k: int, band: int = 2048,
     k is STATIC here (it sets the halo depth); band must divide the rows,
     band % 32 == 0, and h <= band (k <= band generations per dispatch).
     """
+    if k == 0:
+        # hw=0 would make the [-hw:] halo slice grab WHOLE neighbor bands
+        # (Python's -0 slice), replacing every band with the one above it.
+        return packed
     wn, c = packed.shape
     bw = band // BITS
     if band % BITS or wn % bw:

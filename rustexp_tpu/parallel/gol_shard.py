@@ -103,9 +103,6 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
         from ..ops import gol_stencil
 
         r = local.shape[0]
-        if k > r * (n_dev - 1):
-            # halo deeper than the rest of the torus would wrap around
-            raise ValueError(f"k={k} too deep for {r}-row shards")
         halo = min(k, r)
         # k-deep halos in one exchange (k <= r: one neighbor each way
         # suffices; deeper k would chain ppermutes)
@@ -151,8 +148,12 @@ def make_multi_step(mesh: Mesh, axis="rows", k: int = 1,
         full = gol_bits.unpack_rows(out, dtype=local.dtype)
         return lax.dynamic_slice_in_dim(full, halo, r, axis=0)
 
-    body = {"pallas": step_k_pallas, "bits": step_k_bits}.get(backend,
-                                                              step_k_roll)
+    bodies = {"roll": step_k_roll, "pallas": step_k_pallas,
+              "bits": step_k_bits}
+    if backend not in bodies:
+        # An unknown name must not silently run the ~30x-slower oracle.
+        raise ValueError(f"backend {backend!r} not one of {sorted(bodies)}")
+    body = bodies[backend]
     # check_rep off: pallas_call outputs carry no varying-mesh-axes info
     step = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
                      out_specs=P(axis, None),

@@ -65,6 +65,19 @@ def test_raster_state_roundtrip(tmp_path):
     assert st2._scene_cache is None  # transient cache rebuilt lazily
 
 
+def test_extensionless_path_roundtrip(tmp_path):
+    # Regression: np.savez appended ".npz" while load opened the bare
+    # path — `--save-state /tmp/st` then `--load-state /tmp/st` died.
+    from rustexp_tpu.sims.gol import GoLExperiment
+
+    exp = GoLExperiment()
+    st = exp.init(pattern="acorn")
+    written = save_state(tmp_path / "bare", st)
+    assert str(written).endswith("bare.npz")
+    st2 = load_state(tmp_path / "bare", exp)  # extensionless alias
+    np.testing.assert_array_equal(np.asarray(st2.grid), np.asarray(st.grid))
+
+
 def test_wrong_experiment_rejected(tmp_path):
     from rustexp_tpu.sims.gol import GoLExperiment
     from rustexp_tpu.sims.nbody import NBodyExperiment

@@ -93,6 +93,17 @@ def test_swar_banded_parity():
                                       err_msg=f"packed k={k} band={band}")
 
 
+def test_swar_banded_k0_is_identity():
+    # Regression: hw=0 made the [-hw:] halo slice grab WHOLE neighbor
+    # bands, cyclically shifting the grid instead of doing nothing.
+    from rustexp_tpu.ops import gol_bits
+
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.integers(0, 2, (128, 128)).astype(np.int32))
+    got = np.asarray(gol_bits.multi_step_swar_banded(g, 0, band=32))
+    np.testing.assert_array_equal(got, np.asarray(g))
+
+
 def test_swar_guard():
     from rustexp_tpu.ops import gol_bits
 

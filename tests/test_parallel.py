@@ -177,6 +177,24 @@ def test_raster_sharded_multihost_mesh():
     np.testing.assert_array_equal(got, want)
 
 
+def test_gol_sharded_unknown_backend_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="backend"):
+        gol_shard.make_multi_step(_mesh(2), k=2, backend="swar")
+
+
+def test_gol_sharded_pallas_single_device_mesh():
+    # Regression: a dead `k > r*(n_dev-1)` guard rejected every k >= 1
+    # on a 1-device mesh, though the self-ppermute halo is exact there.
+    g = jnp.asarray(np.random.default_rng(3).integers(
+        0, 2, (64, 128)).astype(np.int32))
+    ref = np.asarray(gol_stencil.multi_step(g, 4, "roll"))
+    step = gol_shard.make_multi_step(_mesh(1), k=4, backend="pallas")
+    got = np.asarray(step(gol_shard.shard_grid(g, _mesh(1))))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_gol_sharded_pallas_backend_matches_oracle():
     """VERDICT r2 #5: the sharded GoL must run the PRODUCTION fused Pallas
     kernel. k-deep halos absorb k generations of y-torus contamination, so

@@ -73,8 +73,9 @@ def main():
     m = mesh.get_mesh(0)  # killeroo
     scene = pp.make_scene(m, cubemap.get_cm_set(0))
     eye = jnp.asarray(camera.camera_eye(mesh.mesh_camera(0), 0.0))
-    cap, spans = pp.suggest_binning(scene, eye, W, H)
-    print(f"killeroo T={m.num_tris} cap={cap} spans={spans}", flush=True)
+    cap, spans, rows_cap = pp.suggest_binning(scene, eye, W, H)
+    print(f"killeroo T={m.num_tris} cap={cap} spans={spans} "
+          f"rows_cap={rows_cap}", flush=True)
 
     tick = jnp.float32(0.0)
 
