@@ -272,3 +272,19 @@ def test_sim_worker_snapshot_and_pause():
         assert w.read().generations > g1
     finally:
         w.stop()
+
+
+def test_gol_empty_and_full_grids_all_backends():
+    """Saturation corner cases for the SWAR carry-save adders: an empty
+    torus stays empty; a full torus dies in one generation (8 live
+    neighbors everywhere). All three kernels must agree."""
+    from rustexp_tpu.ops import gol_bits
+
+    for fill in (0, 1):
+        g = jnp.full((64, 128), fill, jnp.int32)
+        want = np.zeros((64, 128), np.int32)  # both evolve to dead
+        for backend in ("roll", "pallas"):
+            got = np.asarray(gol_stencil.multi_step(g, 1, backend))
+            np.testing.assert_array_equal(got, want, err_msg=backend)
+        got = np.asarray(gol_bits.multi_step_swar(g, 1))
+        np.testing.assert_array_equal(got, want, err_msg="bits")

@@ -308,3 +308,34 @@ def test_morton_sort_bitonic_parity():
     a = nbody_bh.morton_sort(px, py, m, vx, vy, use_bitonic=False)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bh_degenerate_configurations_stay_finite():
+    """Adversarial particle sets through the production block-BH step.
+
+    The reference's quadtree has explicit guards for these (coincident-
+    particle eps-merge nbody.rs:267-293, depth-50 panic); the block form
+    must survive them numerically instead: coincident particles (zero-
+    size blocks -> the 1e-12 diagonal floor in near_block_indices),
+    one far outlier (a huge sparse Morton cell), and an axis-collinear
+    line (degenerate AABBs in one dimension)."""
+    from rustexp_tpu.ops import nbody_bh
+
+    n, block, k = 1024, 64, 4
+
+    def run(px, py):
+        m = jnp.ones((n,), jnp.float32)
+        vx = vy = jnp.zeros((n,), jnp.float32)
+        out = nbody_bh.step_bh(jnp.asarray(px, jnp.float32),
+                               jnp.asarray(py, jnp.float32),
+                               vx, vy, m, block=block, k_near=k,
+                               dt=jnp.float32(0.01))
+        for a in out:
+            assert np.isfinite(np.asarray(a)).all()
+
+    rng = np.random.default_rng(0)
+    run(np.zeros(n), np.zeros(n))                      # all coincident
+    px = rng.uniform(-30, 30, n); py = rng.uniform(-30, 30, n)
+    px[0] = 1e6; py[0] = -1e6                          # far outlier
+    run(px, py)
+    run(np.linspace(-30, 30, n), np.zeros(n))          # collinear line
