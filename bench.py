@@ -12,7 +12,6 @@ still under construction.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -102,12 +101,9 @@ def main():
         }))
         sys.exit(1)
     print(f"# backend: {backend}", file=sys.stderr)
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor an explicit platform request past the sitecustomize pin
-        # (same dance as tests/conftest.py).
-        import jax
+    from rustexp_tpu.core.platform import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
 
     try:
         result = bench_rasterizer()

@@ -83,16 +83,9 @@ def main(argv=None):
                         "one on-device dispatch chain")
     args = p.parse_args(argv)
 
-    import os
+    from ..core.platform import honor_jax_platforms_env
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor an explicit platform request even when the host's
-        # sitecustomize force-pins jax_platforms at interpreter start
-        # (observed on the dev terminal: env var alone silently lands on
-        # the remote TPU — or hangs when its tunnel is down).
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
 
     if args.devices > 1:
         from .multidev import run_multidevice

@@ -20,7 +20,6 @@ Run:  python -m rustexp_tpu.app.viewer [--size 192] [--fps 30]
 from __future__ import annotations
 
 import argparse
-import os
 import select
 import sys
 import time
@@ -264,13 +263,9 @@ def main(argv=None):
                    help="starting experiment index (0 GoL, 1 NBody, 2 Raster)")
     args = p.parse_args(argv)
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor an explicit platform request past a sitecustomize that
-        # force-pins jax_platforms at interpreter start (see app/cli.py).
-        import jax
+    from ..core.platform import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
+    honor_jax_platforms_env()
     run_viewer(args.size, args.fps, args.frames, args.start)
     return 0
 

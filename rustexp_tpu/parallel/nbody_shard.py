@@ -62,7 +62,8 @@ def make_step(mesh: Mesh, axis="p"):
     return jax.jit(step)
 
 
-def make_step_bh(mesh: Mesh, axis="p", block: int = 256, k_near: int = 9):
+def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
+                 k_near: int | None = None):
     """Multi-chip block Barnes-Hut — the PRODUCTION approximate step.
 
     VERDICT r2 #3b: the sharded N-body previously covered brute force
@@ -88,11 +89,18 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256, k_near: int = 9):
 
     Signature of the returned fn: (px, py, vx, vy, m, dt) — dt traced.
     """
-    from ..ops.nbody_bh import morton_sort, near_block_indices
+    from ..ops.nbody_bh import morton_sort, near_block_indices, theta_to_k
     from ..ops.nbody_forces import EPS, kill_runaway
     from .gol_shard import axis_size
 
     n_dev = axis_size(mesh, axis)
+    if k_near is None:
+        # Derive from the reference's default theta so the calibrated
+        # K(theta) (cross-calibrated vs the reference quadtree; see
+        # ops/nbody_bh.theta_to_k) can't silently go stale here again.
+        # n_blocks is unknown until trace time; pass a large cap — the
+        # [:, :K] near-set slice clamps to the real block count anyway.
+        k_near = theta_to_k(0.85, 1 << 30)
 
     @partial(
         shard_map,

@@ -57,7 +57,6 @@ def make_sharded_render(
 
     def band_render(scene: pp.Scene, eye, tick):
         dev = jax.lax.axis_index(axis)
-        y_org = (dev * band_h).astype(jnp.float32)
 
         vp, world, n_world = pp.transform_vertices(scene, eye, w, h)
         colors = scene.colors
@@ -79,14 +78,7 @@ def make_sharded_render(
             gb = raster_gbuffer_xla(setup, band_h, w)
 
         # Band slice of the vertical gradient, evaluated at global rows
-        start, end = pp.BACKGROUNDS[bg_idx]
-        pos = (dev * band_h + jnp.arange(band_h, dtype=jnp.float32)) / float(h - 1)
-        col = (jnp.asarray(start, jnp.float32)[None, :] * (1.0 - pos)[:, None]
-               + jnp.asarray(end, jnp.float32)[None, :] * pos[:, None])
-        from ..core.colors import pack_abgr32
-
-        row = pack_abgr32(col[:, 0], col[:, 1], col[:, 2])
-        bg = jnp.broadcast_to(row[:, None], (band_h, w))
+        bg = pp.background(bg_idx, w, band_h, y0=dev * band_h, full_h=h)
 
         # Shading interpolates from *untranslated* vertex attributes; the
         # barycentrics are translation-invariant so this is exact.
@@ -195,7 +187,7 @@ def make_sharded_queue_render(
     """
     from ..ops.raster_queue import raster_attrs_queue
     from ..ops.raster_setup import setup_triangles_planar
-    from ..core.colors import pack_abgr32, pack_abgr32_gamma_arith
+    from ..core.colors import pack_abgr32_gamma_arith
 
     from .gol_shard import axis_size
 
@@ -250,13 +242,7 @@ def make_sharded_queue_render(
                                                   interpret=interpret)
 
         # Band slice of the vertical gradient at GLOBAL rows
-        start, end = pp.BACKGROUNDS[bg_idx]
-        pos = (dev * band_h + jnp.arange(band_h, dtype=jnp.float32)) \
-            / float(h - 1)
-        col = (jnp.asarray(start, jnp.float32)[None, :] * (1.0 - pos)[:, None]
-               + jnp.asarray(end, jnp.float32)[None, :] * pos[:, None])
-        row = pack_abgr32(col[:, 0], col[:, 1], col[:, 2])
-        bg = jnp.broadcast_to(row[:, None], (band_h, w))
+        bg = pp.background(bg_idx, w, band_h, y0=dev * band_h, full_h=h)
 
         if per_pixel:
             fb = pp._shade_compacted(queue.rows, scene, z, maskp, lin, eye,

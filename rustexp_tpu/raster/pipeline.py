@@ -643,10 +643,16 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
 # ---------------------------------------------------------------------------
 
 
-def background(bg_idx: int, w: int, h: int):
-    """Vertical gradient, packed without gamma (rasterizer.rs:1268-1299)."""
+def background(bg_idx: int, w: int, h: int, y0=0, full_h: int | None = None):
+    """Vertical gradient, packed without gamma (rasterizer.rs:1268-1299).
+
+    `y0`/`full_h` evaluate a band of a taller frame's gradient at its
+    GLOBAL rows (band-sharded rendering, parallel/raster_shard.py); y0
+    may be traced (a mesh axis index).
+    """
     start, end = BACKGROUNDS[bg_idx]
-    pos = jnp.arange(h, dtype=jnp.float32) / float(h - 1)
+    pos = (y0 + jnp.arange(h, dtype=jnp.float32)) \
+        / float((h if full_h is None else full_h) - 1)
     col = (
         jnp.asarray(start, jnp.float32)[None, :] * (1.0 - pos)[:, None]
         + jnp.asarray(end, jnp.float32)[None, :] * pos[:, None]
