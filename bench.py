@@ -58,37 +58,13 @@ def bench_sine():
     }
 
 
-def _probe_backend(timeout_s: int = 180):
-    """Backend liveness probe in a subprocess with a hard timeout.
-
-    The axon (remote-TPU tunnel) backend HANGS indefinitely inside
-    device initialization when the tunnel relay is down (observed: the
-    relay process dies and every tunnel port refuses connections; a bare
-    `jax.devices()` then never returns). A hung bench is worse than a
-    failed one — probe first, fail loudly and fast.
-    """
-    import subprocess
-
-    # Re-pin platforms from the env inside the probe: the terminal's
-    # sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
-    # start, so a plain env var would still probe (and hang on) the dead
-    # tunnel even when the caller asked for JAX_PLATFORMS=cpu.
-    code = ("import os, jax\n"
-            "p = os.environ.get('JAX_PLATFORMS')\n"
-            "if p: jax.config.update('jax_platforms', p)\n"
-            "print(jax.default_backend())")
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s, capture_output=True, text=True)
-        backend = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else None
-        return backend if out.returncode == 0 else None
-    except subprocess.TimeoutExpired:
-        return None
-
-
 def main():
-    backend = _probe_backend()
+    # Probe in a subprocess with a hard timeout — the axon backend hangs
+    # forever inside device init when the tunnel relay is down. Importing
+    # rustexp_tpu here is safe: the package is import-time device-free.
+    from rustexp_tpu.core.platform import probe_backend
+
+    backend = probe_backend()
     if backend is None:
         print(json.dumps({
             "metric": "backend_unavailable",

@@ -41,6 +41,8 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
     from ..ops.raster_setup import setup_triangles_planar
     from ..raster import camera, pipeline as pp
 
+    from ..ops.raster_queue import TILE_H, TILE_W
+
     m = mesh.get_mesh(mesh_idx)
     scene = pp.make_scene(m, cubemap.get_cm_set(env_idx))
     cam = mesh.mesh_camera(mesh_idx)
@@ -48,25 +50,38 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
     eyes = np.stack([camera.camera_eye(cam, t) for t in ticks]).astype(
         np.float32)
 
-    # Static queue caps: max stats over sampled path eyes, with margin
-    stats = [jax.device_get(pp._queue_stats_jit(
-        scene, jnp.asarray(eyes[i]), w, h))
-        for i in range(0, n_frames, max(1, n_frames // 8))]
-    agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
-    s_cap, m_y, m_x, t_cap = suggest_queue_config(agg)
+    # The flat-queue kernel needs TILE_H x TILE_W tileable frames; odd
+    # sizes scan through render_frame's auto backend instead (same
+    # fallback rule as render_frame itself).
+    tileable = h % TILE_H == 0 and w % TILE_W == 0
+    if tileable:
+        # Static queue caps: max stats over sampled path eyes, with margin
+        stats = [jax.device_get(pp._queue_stats_jit(
+            scene, jnp.asarray(eyes[i]), w, h))
+            for i in range(0, n_frames, max(1, n_frames // 8))]
+        agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
+        s_cap, m_y, m_x, t_cap = suggest_queue_config(agg)
 
     @jax.jit
     def chunk(scene, eyes_c, ticks_c):
         def body(ov, et):
             e, t = et
-            xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, e, w, h)
-            setup = setup_triangles_planar(xs, ys, zs, w, h)
-            queue = build_queue(setup, h, w, s_cap=s_cap, m_y=m_y, m_x=m_x,
-                                t_cap=t_cap)
-            fb, overflow = pp.render_frame(
-                scene, e, t, w=w, h=h, mode=pp.MODE_FILL,
-                per_pixel=per_pixel, shader_idx=shader_idx, bg_idx=bg_idx,
-                backend="queue", raster_queue=queue, return_overflow=True)
+            if tileable:
+                xs, ys, zs, _, _, _ = pp.transform_corners_planar(
+                    scene, e, w, h)
+                setup = setup_triangles_planar(xs, ys, zs, w, h)
+                queue = build_queue(setup, h, w, s_cap=s_cap, m_y=m_y,
+                                    m_x=m_x, t_cap=t_cap)
+                fb, overflow = pp.render_frame(
+                    scene, e, t, w=w, h=h, mode=pp.MODE_FILL,
+                    per_pixel=per_pixel, shader_idx=shader_idx, bg_idx=bg_idx,
+                    backend="queue", raster_queue=queue,
+                    return_overflow=True)
+            else:
+                fb, overflow = pp.render_frame(
+                    scene, e, t, w=w, h=h, mode=pp.MODE_FILL,
+                    per_pixel=per_pixel, shader_idx=shader_idx, bg_idx=bg_idx,
+                    return_overflow=True)
             return ov | overflow, fb
         ov, fbs = jax.lax.scan(body, jnp.bool_(False), (eyes_c, ticks_c))
         return ov, fbs

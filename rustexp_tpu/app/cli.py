@@ -83,9 +83,10 @@ def main(argv=None):
                         "one on-device dispatch chain")
     args = p.parse_args(argv)
 
-    from ..core.platform import honor_jax_platforms_env
+    from ..core.platform import honor_jax_platforms_env, require_live_backend
 
     honor_jax_platforms_env()
+    require_live_backend()
 
     if args.devices > 1:
         from .multidev import run_multidevice
@@ -117,9 +118,21 @@ def main(argv=None):
     if args.animate:
         if args.experiment != "rasterizer":
             raise SystemExit("--animate supports the rasterizer experiment")
+        from ..sims.rasterizer import RasterizerExperiment
         from .animate import render_turntable
 
-        times = render_turntable(n_frames=args.animate, w=args.size,
+        # --keys selects the scene exactly as in the frame loop below
+        # (reference keybindings: Q/W mesh, A/S shader, Z/X envmap, 1/2
+        # background, P per-pixel), then the turntable renders that scene.
+        exp = RasterizerExperiment()
+        st = exp.init()
+        for k in args.keys:
+            st = exp.handle_key(st, k)
+        times = render_turntable(mesh_idx=st.mesh_idx,
+                                 shader_idx=st.shader_idx,
+                                 env_idx=st.env_idx, bg_idx=st.bg_idx,
+                                 per_pixel=st.per_pixel,
+                                 n_frames=args.animate, w=args.size,
                                  h=args.size, out_prefix=args.out,
                                  overlay=args.overlay and bool(args.out))
         med = sorted(times)[len(times) // 2]

@@ -263,9 +263,10 @@ def main(argv=None):
                    help="starting experiment index (0 GoL, 1 NBody, 2 Raster)")
     args = p.parse_args(argv)
 
-    from ..core.platform import honor_jax_platforms_env
+    from ..core.platform import honor_jax_platforms_env, require_live_backend
 
     honor_jax_platforms_env()
+    require_live_backend()
     run_viewer(args.size, args.fps, args.frames, args.start)
     return 0
 

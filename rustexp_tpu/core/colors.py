@@ -46,9 +46,23 @@ def _make_pow16_table() -> np.ndarray:
 GAMMA_11BIT_LUT = _make_gamma_lut()           # uint8 [2048]
 POW16_TABLE = _make_pow16_table()             # float32 [256]
 
-# Device-resident copies for use inside jitted code
-GAMMA_LUT_J = jnp.asarray(GAMMA_11BIT_LUT, dtype=jnp.uint32)
-POW16_TABLE_J = jnp.asarray(POW16_TABLE, dtype=jnp.float32)
+# Device-resident copies are created LAZILY: a module-level jnp.asarray
+# would initialize the JAX backend at import time, before entry points
+# can re-pin the platform past the host's sitecustomize — on a host
+# whose remote-TPU tunnel is down, that import then hangs forever
+# (observed: every CLI run with JAX_PLATFORMS=cpu stuck inside
+# `from ..core.platform import ...`).
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _gamma_lut_j():
+    return jnp.asarray(GAMMA_11BIT_LUT, dtype=jnp.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _pow16_table_j():
+    return jnp.asarray(POW16_TABLE, dtype=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +93,7 @@ def pack_abgr32_gamma(r, g, b):
     bi = (b * 2047.0).astype(jnp.int32)
 
     def lut(idx):
-        return GAMMA_LUT_J[jnp.clip(idx, 0, 2047)]
+        return _gamma_lut_j()[jnp.clip(idx, 0, 2047)]
 
     r8 = jnp.where(ri < 0, jnp.uint32(0), jnp.where(ri > 2047, jnp.uint32(255), lut(ri)))
     g8 = jnp.where(gi < 0, jnp.uint32(0), jnp.where(gi > 2047, jnp.uint32(255), lut(gi)))
@@ -183,7 +197,7 @@ def fast_unit_pow16(v):
     idx = trunc(v*855 - 600); idx<0 -> 0.0, idx>255 -> 1.0.
     """
     idx = (v * 855.0 - 600.0).astype(jnp.int32)
-    val = POW16_TABLE_J[jnp.clip(idx, 0, 255)]
+    val = _pow16_table_j()[jnp.clip(idx, 0, 255)]
     return jnp.where(idx < 0, 0.0, jnp.where(idx > 255, 1.0, val))
 
 

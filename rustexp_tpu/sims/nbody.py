@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.timing import FrameTimes
 from ..ops import nbody_forces
@@ -70,10 +71,13 @@ def stable_orbits(key, n: int, rmin: float = 0.5, rmax: float = 30.0):
 _BODY = (76, 64, 39)   # r, g, b after factor 0.3 and truncation
 _TAIL = (63, 53, 32)   # after factor 0.25
 
-# Octant direction table (nbody.rs:543-552): E NE N NW W SW S SE
-_DIRS = jnp.asarray(
+# Octant direction table (nbody.rs:543-552): E NE N NW W SW S SE.
+# Kept as numpy: a module-level jnp array would initialize the JAX
+# backend at import time (hangs on a dead remote-TPU tunnel before the
+# entry point can re-pin the platform); jnp lifts it on first trace.
+_DIRS = np.asarray(
     [[1, 0], [1, 1], [0, 1], [-1, 1], [-1, 0], [-1, -1], [0, -1], [1, -1]],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
 
@@ -96,7 +100,7 @@ def nbody_render(px, py, vx, vy, w: int, h: int):
     # tail offset from velocity octant (nbody.rs:540-554)
     angle = jnp.arctan2(vy, vx)
     octant = ((8.0 * angle / (2.0 * math.pi) + 8.0).astype(jnp.int32)) % 8
-    d = _DIRS[octant]
+    d = jnp.asarray(_DIRS)[octant]
     xt = xi - d[:, 0]
     yt = yi - d[:, 1]
 

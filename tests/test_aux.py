@@ -1,0 +1,172 @@
+"""Auxiliary-subsystem tests: tracing, timing stats, offline animation.
+
+Covers the reference's Trace (hs-src/Trace.hs), Timing/BoundedSequence/
+Median (hs-src/Timing.hs:21-34, BoundedSequence.hs:16-46, Median.hs:7-15)
+re-expressions, and the offline turntable renderer (app/animate.py) that
+replaces holding the reference app open while the camera orbits.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from rustexp_tpu.core import timing, trace
+
+
+# ---------------------------------------------------------------- trace
+
+def test_trace_levels_and_file_sink(tmp_path, capsys):
+    log = str(tmp_path / "t.log")
+    trace.setup(level=trace.TraceLevel.WARN, file_path=log, echo=True,
+                color=False)
+    try:
+        trace.trace_error("boom")
+        trace.trace_warn("careful")
+        trace.trace_info("chatty")  # above level -> dropped
+        err = capsys.readouterr().err
+        assert "boom" in err and "careful" in err and "chatty" not in err
+        lines = open(log).read().splitlines()
+        assert len(lines) == 2
+        # header: LEVEL [tid] HH:MM:SS.mmm | msg  (Trace.hs:71-100 analog)
+        assert lines[0].startswith("ERROR [") and lines[0].endswith("| boom")
+        assert lines[1].startswith("WARN [")
+    finally:
+        trace.setup(level=trace.TraceLevel.WARN, file_path=None, echo=True)
+
+
+def test_trace_none_level_silences_everything(tmp_path, capsys):
+    trace.setup(level=trace.TraceLevel.NONE, echo=True, color=False)
+    try:
+        trace.trace_error("invisible")
+        assert "invisible" not in capsys.readouterr().err
+    finally:
+        trace.setup(level=trace.TraceLevel.WARN, file_path=None, echo=True)
+
+
+def test_trace_color_tags(capsys):
+    trace.setup(level=trace.TraceLevel.INFO, echo=True, color=True)
+    try:
+        trace.trace_info("tinted")
+        err = capsys.readouterr().err
+        assert "\x1b[36m" in err and "\x1b[0m" in err
+    finally:
+        trace.setup(level=trace.TraceLevel.WARN, file_path=None, echo=True)
+
+
+def test_trace_and_raise():
+    trace.setup(level=trace.TraceLevel.NONE, echo=False)
+    try:
+        with pytest.raises(RuntimeError, match="fatal thing"):
+            trace.trace_and_raise("fatal thing")
+    finally:
+        trace.setup(level=trace.TraceLevel.WARN, file_path=None, echo=True)
+
+
+# --------------------------------------------------------------- timing
+
+def test_median_odd_even_empty():
+    assert timing.median([3.0, 1.0, 2.0]) == 2.0
+    assert timing.median([4.0, 1.0, 2.0, 3.0]) == 2.5
+    assert timing.median([]) == 0.0
+
+
+def test_frame_times_ring_bounds_and_stats():
+    ft = timing.FrameTimes(limit=4)
+    for dt in [0.010, 0.020, 0.030, 0.040, 0.050]:
+        ft.push(dt)
+    # 60-deep-ring analog: oldest (0.010) evicted at limit 4
+    assert len(ft.times) == 4
+    fps, med, lo, hi = ft.stats()
+    assert lo == 0.020 and hi == 0.050
+    assert med == pytest.approx(0.035)
+    assert fps == pytest.approx(1.0 / 0.035)
+    s = ft.status_string()
+    assert "FPS" in s and "Worst" in s and "Best" in s
+
+
+def test_frame_times_empty_stats():
+    ft = timing.FrameTimes()
+    assert ft.stats() == (0.0, 0.0, 0.0, 0.0)
+    assert "0.0FPS" in ft.status_string()
+
+
+def test_time_it_returns_elapsed_and_result():
+    dt, out = timing.time_it(lambda a, b: a + b, 2, b=3)
+    assert out == 5 and dt >= 0.0
+
+
+def test_get_tick_monotonic():
+    a = timing.get_tick()
+    b = timing.get_tick()
+    assert b >= a >= 0.0
+
+
+# ------------------------------------------------------------- platform
+
+def test_package_import_initializes_no_backend():
+    """Importing the package must not create device arrays.
+
+    A module-level jnp.asarray initializes the JAX backend at import
+    time, BEFORE entry points can re-pin the platform past the host's
+    sitecustomize — on a host whose remote-TPU tunnel is down, that
+    import hangs forever (observed: every CLI run stuck inside
+    `from ..core.platform import ...` at colors.py's LUT constants).
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "from jax._src import xla_bridge\n"
+        "import rustexp_tpu\n"
+        "import rustexp_tpu.core.platform, rustexp_tpu.core.colors\n"
+        "import rustexp_tpu.core.framebuffer, rustexp_tpu.core.checkpoint\n"
+        "import rustexp_tpu.sims.sine, rustexp_tpu.sims.gol\n"
+        "import rustexp_tpu.sims.nbody, rustexp_tpu.sims.rasterizer\n"
+        "import rustexp_tpu.ops.gol_bits, rustexp_tpu.ops.nbody_bh\n"
+        "import rustexp_tpu.ops.raster_queue, rustexp_tpu.raster.pipeline\n"
+        "import rustexp_tpu.app.cli, rustexp_tpu.app.animate\n"
+        "import rustexp_tpu.parallel.gol_shard\n"
+        "assert not xla_bridge._backends, sorted(xla_bridge._backends)\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout
+
+
+# -------------------------------------------------------------- animate
+
+@pytest.mark.parametrize("wh", [128, 64])
+def test_turntable_renders_frames_along_camera_path(tmp_path, wh):
+    """Two cube frames through the full in-graph rebuild scan.
+
+    Checks the offline path end to end: per-frame eyes from the mesh's
+    camera animation, static queue caps sampled over the path, PNG output
+    per frame, and that successive frames actually differ (the camera
+    moved). 128^2 runs the flat-queue scan; 64^2 (not TILE_W-tileable)
+    exercises the render_frame auto-backend fallback.
+    """
+    from rustexp_tpu.app import animate
+    from rustexp_tpu.core.framebuffer import read_png
+
+    prefix = str(tmp_path / "turn")
+    times = animate.render_turntable(
+        mesh_idx=9, shader_idx=2, env_idx=0, bg_idx=0, per_pixel=False,
+        n_frames=2, fps=4.0, w=wh, h=wh, out_prefix=prefix)
+    assert len(times) >= 1 and all(t > 0 for t in times)
+    paths = sorted(glob.glob(prefix + "_*.png"))
+    assert [os.path.basename(p) for p in paths] == [
+        "turn_0000.png", "turn_0001.png"]
+    f0, f1 = read_png(paths[0]), read_png(paths[1])
+    assert f0.shape == (wh, wh, 3)
+    assert (f0 != f1).any(), "camera did not move between frames"
+    # some shaded (non-background) pixels exist in both frames
+    for f in (f0, f1):
+        col = f.reshape(-1, 3)
+        assert len(np.unique(col, axis=0)) > 4
