@@ -131,23 +131,33 @@ class SimWorker:
 
 
 class _RawTerm:
-    """Raw, non-blocking stdin for key polling; restores settings on exit."""
+    """Raw, non-blocking stdin for key polling; restores settings on exit.
+
+    When stdin is not a tty (piped/redirected, e.g. a headless --frames
+    run under a harness), key polling degrades to a no-op instead of
+    dying in tcgetattr with "Inappropriate ioctl for device".
+    """
 
     def __enter__(self):
-        import termios
-        import tty
+        self.tty = sys.stdin.isatty()
+        if self.tty:
+            import termios
+            import tty
 
-        self.fd = sys.stdin.fileno()
-        self.saved = termios.tcgetattr(self.fd)
-        tty.setcbreak(self.fd)
+            self.fd = sys.stdin.fileno()
+            self.saved = termios.tcgetattr(self.fd)
+            tty.setcbreak(self.fd)
         return self
 
     def __exit__(self, *exc):
-        import termios
+        if self.tty:
+            import termios
 
-        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
+            termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
 
     def poll_key(self):
+        if not self.tty:
+            return None
         r, _, _ = select.select([sys.stdin], [], [], 0)
         if r:
             return sys.stdin.read(1)
