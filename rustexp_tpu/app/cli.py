@@ -91,15 +91,10 @@ def main(argv=None):
     if args.devices > 1:
         from .multidev import run_multidevice
 
-        if args.keys:
-            raise SystemExit("--keys applies to the single-device "
-                             "experiment loop; the --devices path takes "
-                             "its config from flags (--grid, "
-                             "--steps-per-frame)")
         times = run_multidevice(args.experiment, args.devices, args.frames,
                                 args.size, args.out, overlay=args.overlay,
                                 steps_per_frame=args.steps_per_frame or 8,
-                                grid=args.grid)
+                                grid=args.grid, keys=args.keys)
         med = sorted(times)[len(times) // 2]
         print(f"{len(times)} frames, median {med * 1e3:.2f} ms "
               f"on {args.devices} devices")

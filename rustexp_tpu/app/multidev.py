@@ -46,8 +46,15 @@ def _mesh(n_dev: int, axis: str):
 
 def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
                     out: str, overlay: bool = True,
-                    steps_per_frame: int = 8, grid: int = 0):
+                    steps_per_frame: int = 8, grid: int = 0,
+                    keys: str = ""):
     """Run `frames` sharded sim/render rounds; returns per-frame seconds.
+
+    ``keys`` are the reference keybindings applied to a single-device
+    experiment state BEFORE sharding — they select the scene/config
+    (GoL patterns, N-body resets + dt/theta, rasterizer mesh/shader/
+    envmap/bg/per-pixel) exactly as in the single-device loop, then the
+    resulting configuration runs over the mesh.
 
     All work (including single-device render helpers) is pinned to the
     mesh's platform via jax.default_device — otherwise a sitecustomize
@@ -78,12 +85,16 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
 
     if experiment == "gol":
         from ..parallel import gol_shard
-        from ..sims.gol import GRID_WDH, gol_render, set_pattern
-        from ..assets.gol_patterns import PATTERNS, pattern_to_array
+        from ..sims.gol import GRID_WDH, GoLExperiment, gol_render
 
         gw = grid or GRID_WDH  # --grid N forwards here (CLI contract)
-        g0 = set_pattern(pattern_to_array(PATTERNS["ark"]), gw)
-        g0 = g0.astype(jnp.int32)
+        # Init + keys through the experiment: the default 'ark' pattern
+        # and the R/G/A/F/K seeding keys behave exactly as single-device.
+        exp = GoLExperiment()
+        st = exp.init(n=gw)
+        for kk in keys:
+            st = exp.handle_key(st, kk)
+        g0 = jnp.asarray(st.grid, jnp.int32)
         # "bits" (SWAR) for big grids — the only backend that scales past
         # the per-shard VMEM budget; the reference-size 256^2 keeps the
         # fused f32 kernel whose 32-row shard minimum would reject tiny
@@ -107,29 +118,52 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         return times
 
     if experiment == "nbody":
-        from ..parallel import nbody_shard
-        from ..sims.nbody import nbody_render, stable_orbits
-
-        block = 256
-        n = block * 8 * n_dev          # B = 8*n_dev blocks, divisible
-        px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), n)
-        # Calibrated K(theta) — k_near=9 predates the d/s recalibration
-        # (theta_to_k: ceil(19/theta^2); 9 measured ~10x worse p90 error)
         from ..ops.nbody_bh import theta_to_k
+        from ..parallel import nbody_shard
+        from ..sims.nbody import NBodyExperiment, nbody_render, stable_orbits
 
-        step = nbody_shard.make_step_bh(mesh, block=block,
-                                        k_near=theta_to_k(0.85, n // block))
+        exp = NBodyExperiment()
+        if keys:
+            # Q/W/E resets, X/x dt, A/a theta — reference keybindings
+            # applied single-device, then the configuration is sharded.
+            st = exp.init()
+            for kk in keys:
+                st = exp.handle_key(st, kk)
+            px, py, vx, vy, m = st.px, st.py, st.vx, st.vy, st.m
+            dt_step, theta = float(st.dt), float(st.theta)
+        else:
+            n0 = 256 * 8 * n_dev       # default: scale bodies with mesh
+            px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(0), n0)
+            dt_step, theta = 0.01, 0.85
+        n = int(px.shape[0])
+        # Same routing policy as single-device (select_backend), with the
+        # extra shard constraint that target blocks divide over devices.
+        block = next((b for b in NBodyExperiment.BH_BLOCKS
+                      if n % b == 0 and (n // b) % n_dev == 0
+                      and n // b > 4), None)
+        if theta == 0.0 or n < NBodyExperiment.BH_MIN_N or block is None:
+            if n % n_dev:
+                raise SystemExit(
+                    f"--devices {n_dev}: {n} bodies don't shard evenly; "
+                    f"pick N divisible by the device count")
+            step = nbody_shard.make_step(mesh)
+            label = "brute"
+        else:
+            B = n // block
+            step = nbody_shard.make_step_bh(
+                mesh, block=block, k_near=min(theta_to_k(theta, B), B))
+            label = f"bh(th={theta:.2f})"
         state = nbody_shard.shard_particles((px, py, vx, vy, m), mesh)
         for i in range(frames):
             t0 = time.perf_counter()
-            state = step(*state, jnp.float32(0.01))
+            state = step(*state, jnp.float32(dt_step))
             state[0].block_until_ready()
             dt = time.perf_counter() - t0
             times.append(dt)
             fb = nbody_render(state[0], state[1], state[2], state[3], w, h)
             present(i, fb, f"{i + 1} Steps, SPS: {1 / dt:.0f}, "
                            f"{dt * 1e3:.2f}ms, {n} Bodies, {n_dev} dev, "
-                           f"bh(th=0.85)")
+                           f"{label}")
         return times
 
     if experiment == "rasterizer":
@@ -144,9 +178,18 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         if h % (n_dev * TILE_H):
             raise SystemExit(f"--size {size} not divisible into {n_dev} "
                              f"{TILE_H}-row-tileable bands")
-        m = mesh_assets.get_mesh(0)
-        scene = pp.make_scene(m, cubemap.get_cm_set(0))
-        cam = mesh_assets.mesh_camera(0)
+        # Scene selection through the experiment's keybindings (Q/W mesh,
+        # A/S shader, Z/X envmap, 1/2 background, P per-pixel) — defaults
+        # match the reference: Killeroo, CMRefl, Grace, per-vertex.
+        from ..sims.rasterizer import RasterizerExperiment
+
+        rexp = RasterizerExperiment()
+        rst = rexp.init()
+        for kk in keys:
+            rst = rexp.handle_key(rst, kk)
+        m = mesh_assets.get_mesh(rst.mesh_idx)
+        scene = pp.make_scene(m, cubemap.get_cm_set(rst.env_idx))
+        cam = mesh_assets.mesh_camera(rst.mesh_idx)
         eye0 = jnp.asarray(camera.camera_eye(cam, 0.0))
         queues = raster_shard.build_band_queues(scene, eye0, w=w, h=h,
                                                 n_dev=n_dev)
@@ -154,7 +197,8 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         queues = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, shard), queues)
         render = raster_shard.make_sharded_queue_render(
-            mesh, scene, eye0, w=w, h=h, per_pixel=True, shader_idx=5)
+            mesh, scene, eye0, w=w, h=h, per_pixel=rst.per_pixel,
+            shader_idx=rst.shader_idx, bg_idx=rst.bg_idx)
         for i in range(frames):
             tick = i / 60.0
             eye = jnp.asarray(camera.camera_eye(cam, tick))
@@ -171,7 +215,8 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             dt = time.perf_counter() - t0
             times.append(dt)
             present(i, fb, f"{1 / dt:.1f}FPS {dt * 1e3:.2f}ms | {n_dev} dev "
-                           f"| {m.name} | CMRefl | {m.num_tris} Tri")
+                           f"| {m.name} | {pp.sh.shader_name(rst.shader_idx)} "
+                           f"| {m.num_tris} Tri")
         return times
 
     if experiment == "sine":

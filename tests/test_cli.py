@@ -37,13 +37,51 @@ def test_checkpoint_roundtrip_flags(tmp_path, capsys):
     assert "64x64 Grid" in text          # grid size restored, not default
 
 
-def test_devices_flag_runs_sharded(capsys):
+def _need_devices(n):
     import jax
 
-    if len(jax.devices()) < 2:
+    if len(jax.devices()) < n:
         import pytest
 
-        pytest.skip("needs >= 2 devices (conftest forces 8 on CPU)")
+        pytest.skip("needs >= %d devices (conftest forces 8 on CPU)" % n)
+
+
+def test_devices_flag_runs_sharded(capsys):
+    _need_devices(2)
     rc = cli.main(["gol", "--frames", "1", "--devices", "2", "--size", "64"])
     assert rc in (None, 0)
     assert "device" in capsys.readouterr().out.lower()
+
+
+def test_devices_keys_select_gol_pattern(capsys):
+    """--keys applies the reference keybindings before sharding: 'G' seeds
+    the Gosper gun, and the sharded run's status must reflect real work."""
+    _need_devices(2)
+    rc = cli.main(["gol", "--frames", "1", "--devices", "2", "--size", "64",
+                   "--keys", "G"])
+    assert rc in (None, 0)
+    assert "2 dev" in capsys.readouterr().out
+
+
+def test_devices_keys_select_raster_scene(tmp_path, capsys):
+    """QQQ walks the mesh registry back to the Cube; the sharded flat-queue
+    render must report the selected mesh, not the Killeroo default."""
+    _need_devices(2)
+    out = str(tmp_path / "r")
+    rc = cli.main(["rasterizer", "--frames", "1", "--devices", "2",
+                   "--size", "128", "--keys", "QQQA", "--out", out])
+    assert rc in (None, 0)
+    text = capsys.readouterr().out
+    assert "Cube" in text and "12 Tri" in text
+    assert os.path.exists(f"{out}_000.png")
+
+
+def test_devices_nbody_uneven_bodies_fail_loudly():
+    """5 bodies (keys 'E') cannot shard over 2 devices — clear error, not
+    a shape crash."""
+    import pytest
+
+    _need_devices(2)
+    with pytest.raises(SystemExit, match="shard evenly"):
+        cli.main(["nbody", "--frames", "1", "--devices", "2", "--size",
+                  "64", "--keys", "E"])
