@@ -91,6 +91,10 @@ def main(argv=None):
     if args.devices > 1:
         from .multidev import run_multidevice
 
+        if args.animate:
+            raise SystemExit("--animate renders on a single device; drop "
+                             "--devices (the turntable scan already "
+                             "amortizes across frames)")
         times = run_multidevice(args.experiment, args.devices, args.frames,
                                 args.size, args.out, overlay=args.overlay,
                                 steps_per_frame=args.steps_per_frame or 8,

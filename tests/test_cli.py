@@ -76,6 +76,13 @@ def test_devices_keys_select_raster_scene(tmp_path, capsys):
     assert os.path.exists(f"{out}_000.png")
 
 
+def test_devices_animate_conflict_fails_loudly():
+    import pytest
+
+    with pytest.raises(SystemExit, match="single device"):
+        cli.main(["rasterizer", "--devices", "2", "--animate", "2"])
+
+
 def test_devices_nbody_uneven_bodies_fail_loudly():
     """5 bodies (keys 'E') cannot shard over 2 devices — clear error, not
     a shape crash."""
