@@ -167,8 +167,6 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         return times
 
     if experiment == "rasterizer":
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from ..assets import cubemap, mesh as mesh_assets
         from ..parallel import raster_shard
         from ..raster import camera, pipeline as pp
@@ -190,27 +188,28 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
         m = mesh_assets.get_mesh(rst.mesh_idx)
         scene = pp.make_scene(m, cubemap.get_cm_set(rst.env_idx))
         cam = mesh_assets.mesh_camera(rst.mesh_idx)
-        eye0 = jnp.asarray(camera.camera_eye(cam, 0.0))
-        queues = raster_shard.build_band_queues(scene, eye0, w=w, h=h,
-                                                n_dev=n_dev)
-        shard = NamedSharding(mesh, P("rows"))
-        queues = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, shard), queues)
-        render = raster_shard.make_sharded_queue_render(
-            mesh, scene, eye0, w=w, h=h, per_pixel=rst.per_pixel,
+        # Moving-camera path: each device rebuilds its band's queue
+        # IN-GRAPH every frame (no cached structures, no host rebuild
+        # trips). Static caps sampled along the camera path.
+        ticks = [i / 60.0 for i in range(frames)]
+        cap_eyes = [jnp.asarray(camera.camera_eye(cam, t))
+                    for t in ticks[:: max(1, frames // 8)]]
+        render = raster_shard.make_sharded_queue_render_moving(
+            mesh, scene, cap_eyes, w=w, h=h, per_pixel=rst.per_pixel,
             shader_idx=rst.shader_idx, bg_idx=rst.bg_idx)
         for i in range(frames):
-            tick = i / 60.0
+            tick = ticks[i]
             eye = jnp.asarray(camera.camera_eye(cam, tick))
             t0 = time.perf_counter()
-            fb, stale = render(scene, queues, eye, jnp.float32(tick))
+            fb, stale = render(scene, eye, jnp.float32(tick))
             fb.block_until_ready()
-            if bool(stale):  # camera left the cached structures: rebuild
-                queues = raster_shard.build_band_queues(
-                    scene, eye, w=w, h=h, n_dev=n_dev)
-                queues = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, shard), queues)
-                fb, stale = render(scene, queues, eye, jnp.float32(tick))
+            if bool(stale):  # camera exceeded the sampled caps: widen once
+                cap_eyes = cap_eyes + [eye]
+                render = raster_shard.make_sharded_queue_render_moving(
+                    mesh, scene, cap_eyes, w=w, h=h,
+                    per_pixel=rst.per_pixel, shader_idx=rst.shader_idx,
+                    bg_idx=rst.bg_idx)
+                fb, stale = render(scene, eye, jnp.float32(tick))
                 fb.block_until_ready()
             dt = time.perf_counter() - t0
             times.append(dt)

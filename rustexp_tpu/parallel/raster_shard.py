@@ -122,6 +122,32 @@ def render_frame_sharded(scene, eye, tick, mesh: Mesh, **kw):
 # ---------------------------------------------------------------------------
 
 
+def band_queue_caps(scene, eyes, *, w: int, h: int, n_dev: int):
+    """UNIFIED static queue caps over sampled eyes x all bands.
+
+    Caps are the max over every (eye, band) pair so one compiled program
+    serves the whole camera path on every device; suggest_queue_config's
+    margin + quantization absorb drift between the sampled eyes.
+    """
+    from ..ops.raster_queue import queue_stats, suggest_queue_config
+    from ..ops.raster_setup import setup_triangles_planar
+
+    band_h = h // n_dev
+
+    @partial(jax.jit, static_argnums=(2,))
+    def band_setup(scene, eye, d):
+        xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, eye, w, h)
+        return setup_triangles_planar(xs, ys, zs, w, band_h,
+                                      y_shift=d * band_h)
+
+    stats_jit = jax.jit(queue_stats, static_argnums=(1, 2))
+    stats = [jax.device_get(stats_jit(
+        band_setup(scene, jnp.asarray(e, jnp.float32), d), band_h, w))
+        for e in eyes for d in range(n_dev)]
+    agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
+    return suggest_queue_config(agg)
+
+
 def build_band_queues(scene, eye, *, w: int, h: int, n_dev: int,
                       margin: float = 1.3):
     """Per-band flat queues with UNIFIED static caps, stacked on axis 0.
@@ -132,60 +158,35 @@ def build_band_queues(scene, eye, *, w: int, h: int, n_dev: int,
     are the max over bands so every device runs the same static shapes;
     the stacked Queue pytree shards its leading axis over the device mesh.
     """
-    from ..ops.raster_queue import (build_queue, queue_stats,
-                                    suggest_queue_config)
+    from ..ops.raster_queue import build_queue
     from ..ops.raster_setup import setup_triangles_planar
-    import jax
 
     band_h = h // n_dev
     eye = jnp.asarray(eye, jnp.float32)
-
-    @partial(jax.jit, static_argnums=(2,))
-    def band_setup(scene, eye, d):
-        xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, eye, w, h)
-        return setup_triangles_planar(xs, ys, zs, w, band_h,
-                                      y_shift=d * band_h)
-
-    stats = [jax.device_get(jax.jit(queue_stats, static_argnums=(1, 2))(
-        band_setup(scene, eye, d), band_h, w)) for d in range(n_dev)]
-    caps = [suggest_queue_config(tuple(int(x) for x in s)) for s in stats]
-    s_cap = max(c[0] for c in caps)
-    m_y = max(c[1] for c in caps)
-    m_x = max(c[2] for c in caps)
-    t_cap = max(c[3] for c in caps)
+    s_cap, m_y, m_x, t_cap = band_queue_caps(scene, [eye], w=w, h=h,
+                                             n_dev=n_dev)
 
     @partial(jax.jit, static_argnums=(2,))
     def band_queue(scene, eye, d):
-        return build_queue(band_setup(scene, eye, d), band_h, w,
+        xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, eye, w, h)
+        setup = setup_triangles_planar(xs, ys, zs, w, band_h,
+                                       y_shift=d * band_h)
+        return build_queue(setup, band_h, w,
                            s_cap=s_cap, m_y=m_y, m_x=m_x, t_cap=t_cap)
 
     queues = [band_queue(scene, eye, d) for d in range(n_dev)]
     return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *queues)
 
 
-def make_sharded_queue_render(
-    mesh: Mesh,
-    scene,
-    eye,
-    *,
-    w: int,
-    h: int,
-    per_pixel: bool = False,
-    shader_idx: int = 5,
-    bg_idx: int = 0,
-    axis="rows",
-):
-    """Jitted (scene, queues, eye, tick) -> (fb, stale) over the flat-queue
-    kernel, one band per device.
+def _queue_band_core(mesh, *, w: int, h: int, per_pixel: bool,
+                     shader_idx: int, bg_idx: int, axis, caps=None):
+    """Shared per-band body for the flat-queue renderers.
 
-    Build the stacked `queues` with build_band_queues (cacheable across
-    frames exactly like the single-chip queue); `stale` is the any-reduced
-    rebuild flag. Per band: replicated planar transform, integer band
-    translation, local raster_attrs_queue + compacted shade with global
-    ray coordinates — output rows are bit-identical to the single-device
-    queue render of the same frame.
+    caps=None: the queue arrives prebuilt (stacked pytree, cached across
+    frames). caps=(s_cap, m_y, m_x, t_cap): the queue is REBUILT IN-GRAPH
+    from this frame's setup — the sharded moving-camera path.
     """
-    from ..ops.raster_queue import raster_attrs_queue
+    from ..ops.raster_queue import build_queue, raster_attrs_queue
     from ..ops.raster_setup import setup_triangles_planar
     from ..core.colors import pack_abgr32_gamma_arith
 
@@ -200,7 +201,8 @@ def make_sharded_queue_render(
     interpret = mesh.devices.flat[0].platform != "tpu"
 
     def band_render(scene, queue, eye, tick):
-        queue = jax.tree_util.tree_map(lambda x: x[0], queue)
+        if caps is None:
+            queue = jax.tree_util.tree_map(lambda x: x[0], queue)
         dev = jax.lax.axis_index(axis)
         y_org = (dev * band_h).astype(jnp.float32)
 
@@ -209,6 +211,10 @@ def make_sharded_queue_render(
         # Post-snap integer translation (bit-exact at band boundaries)
         setup = setup_triangles_planar(xs, ys, zs, w, band_h,
                                        y_shift=dev * band_h)
+
+        if caps is not None:
+            queue = build_queue(setup, band_h, w, s_cap=caps[0],
+                                m_y=caps[1], m_x=caps[2], t_cap=caps[3])
 
         T = scene.tris.shape[0]
         one = jnp.ones((T,), jnp.float32)
@@ -256,11 +262,83 @@ def make_sharded_queue_render(
         any_stale = jax.lax.pmax(stale.astype(jnp.int32), axis) > 0
         return fb, any_stale
 
+    return band_render
+
+
+def make_sharded_queue_render(
+    mesh: Mesh,
+    scene,
+    eye,
+    *,
+    w: int,
+    h: int,
+    per_pixel: bool = False,
+    shader_idx: int = 5,
+    bg_idx: int = 0,
+    axis="rows",
+):
+    """Jitted (scene, queues, eye, tick) -> (fb, stale) over the flat-queue
+    kernel, one band per device.
+
+    Build the stacked `queues` with build_band_queues (cacheable across
+    frames exactly like the single-chip queue); `stale` is the any-reduced
+    rebuild flag. Per band: replicated planar transform, integer band
+    translation, local raster_attrs_queue + compacted shade with global
+    ray coordinates — output rows are bit-identical to the single-device
+    queue render of the same frame.
+    """
+    band_render = _queue_band_core(mesh, w=w, h=h, per_pixel=per_pixel,
+                                   shader_idx=shader_idx, bg_idx=bg_idx,
+                                   axis=axis)
     fn = shard_map(
         band_render,
         mesh=mesh,
         in_specs=(P(), jax.tree_util.tree_map(lambda _: P(axis),
                                               _queue_struct()), P(), P()),
+        out_specs=(P(axis, None), P()),
+        check_rep=False,
+    )
+    out_sharding = (NamedSharding(mesh, P(axis, None)),
+                    NamedSharding(mesh, P()))
+    return jax.jit(fn, out_shardings=out_sharding)
+
+
+def make_sharded_queue_render_moving(
+    mesh: Mesh,
+    scene,
+    cap_eyes,
+    *,
+    w: int,
+    h: int,
+    per_pixel: bool = False,
+    shader_idx: int = 5,
+    bg_idx: int = 0,
+    axis="rows",
+):
+    """Jitted (scene, eye, tick) -> (fb, stale): per-frame IN-GRAPH band
+    queue rebuild — the sharded moving-camera path, zero host trips.
+
+    The single-device analog is the full in-graph rebuild scan
+    (app/benchmark.py bench_scene_moving, ~2.4 ms/frame KillerooP on
+    v5e); here each device rebuilds only ITS band's queue from this
+    frame's translated setup, so the per-chip build cost is ~1/D of the
+    single-chip rebuild. Static caps come from `cap_eyes` (sample the
+    camera path) via band_queue_caps; `stale`=True means the camera left
+    the sampled caps (triangles would be dropped) — re-make with wider
+    cap_eyes rather than looping. Output rows are bit-identical to the
+    single-device queue render of the same frame.
+    """
+    from .gol_shard import axis_size
+
+    caps = band_queue_caps(scene, cap_eyes, w=w, h=h,
+                           n_dev=axis_size(mesh, axis))
+    band_render = _queue_band_core(mesh, w=w, h=h, per_pixel=per_pixel,
+                                   shader_idx=shader_idx, bg_idx=bg_idx,
+                                   axis=axis, caps=caps)
+    fn = shard_map(
+        lambda scene, eye, tick: band_render(scene, None, eye, tick),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
         out_specs=(P(axis, None), P()),
         check_rep=False,
     )

@@ -319,6 +319,35 @@ def test_raster_sharded_queue_backend_bit_exact():
                                       err_msg=f"per_pixel={per_pixel}")
 
 
+def test_raster_sharded_moving_rebuild_bit_exact():
+    """The sharded MOVING-CAMERA path: each device rebuilds its band's
+    queue in-graph every frame (zero host trips). At several eyes along
+    the orbit, output must be bit-identical to the single-device queue
+    render, and the stale flag must stay False inside the sampled caps."""
+    from rustexp_tpu.assets import cubemap, mesh as mesh_assets
+    from rustexp_tpu.parallel import raster_shard
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    w = h = 128
+    scene = pp.make_scene(mesh_assets.make_sphere(12, 24),
+                          cubemap.make_procedural_set())
+    ticks = [0.0, 0.37, 0.81]
+    eyes = [jnp.asarray(camera.cam_orbit(t)) for t in ticks]
+    mesh = _mesh(4)
+    render = raster_shard.make_sharded_queue_render_moving(
+        mesh, scene, eyes, w=w, h=h, per_pixel=True, shader_idx=5)
+    for t, eye in zip(ticks, eyes):
+        queue1 = pp.build_scene_queue(scene, eye, w, h)
+        bg = pp.background(0, w, h)
+        want, _ = pp.raster_and_shade_queue(
+            scene, queue1, None, eye, jnp.float32(t), w=w, h=h,
+            per_pixel=True, shader_idx=5, bg_fb=bg)
+        got, stale = render(scene, eye, jnp.float32(t))
+        assert not bool(stale), f"caps went stale at tick {t}"
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"tick={t}")
+
+
 def test_production_paths_multihost_mesh():
     """The production sharded kernels (fused-Pallas GoL, block-BH) also run
     over a 2-D ("dcn", "ici") mesh with the long axis sharded over BOTH —
