@@ -30,8 +30,12 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
                      bg_idx: int = 0, per_pixel: bool = False,
                      n_frames: int = 60, fps: float = 60.0, w: int = 512,
                      h: int = 512, out_prefix: str = "", overlay: bool = False,
-                     tick0: float = 0.0):
-    """Render n_frames along the mesh's camera path; returns seconds/frame."""
+                     tick0: float = 0.0, gif_path: str = ""):
+    """Render n_frames along the mesh's camera path; returns seconds/frame.
+
+    ``gif_path`` additionally assembles every frame into one looping
+    animated GIF (core/gif.py) at the turntable's fps.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +92,7 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
 
     times = []
     frame_no = 0
+    gif_frames = [] if gif_path else None
     for i, c0 in enumerate(range(0, n_frames, CHUNK_FRAMES)):
         ec = eyes[c0 : c0 + CHUNK_FRAMES]
         tc = ticks[c0 : c0 + CHUNK_FRAMES].astype(np.float32)
@@ -112,15 +117,21 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
             raise RuntimeError(
                 "queue caps overflowed mid-path; re-run (caps are sampled "
                 "with margin — a pathological camera path can exceed them)")
-        for i in range(fbs.shape[0]):
-            if out_prefix:
-                path = f"{out_prefix}_{frame_no:04d}.png"
-                fb = fbs[i]
-                if overlay:
-                    from ..core.font import draw_text
+        for j in range(fbs.shape[0]):
+            fb = fbs[j]
+            if overlay and (out_prefix or gif_frames is not None):
+                from ..core.font import draw_text
 
-                    fb = draw_text(fb, f"frame {frame_no} "
-                                       f"tick {ticks[frame_no]:.3f}")
-                write_png(path, to_rgb8_topleft(fb))
+                fb = draw_text(fb, f"frame {frame_no} "
+                                   f"tick {ticks[frame_no]:.3f}")
+            if out_prefix:
+                write_png(f"{out_prefix}_{frame_no:04d}.png",
+                          to_rgb8_topleft(fb))
+            if gif_frames is not None:
+                gif_frames.append(to_rgb8_topleft(fb))
             frame_no += 1
+    if gif_frames:
+        from ..core.gif import write_gif
+
+        write_gif(gif_path, gif_frames, fps=fps)
     return times

@@ -67,6 +67,10 @@ def main(argv=None):
                    help="rasterizer: render an N-frame camera-path "
                         "turntable as chunked on-device scans (full "
                         "in-graph queue rebuild per frame) to --out")
+    p.add_argument("--gif", default="", metavar="PATH",
+                   help="additionally assemble the rendered frames into "
+                        "one looping animated GIF (dependency-free "
+                        "writer, core/gif.py)")
     p.add_argument("--devices", type=int, default=1,
                    help="run the experiment sharded over an N-device mesh "
                         "(production parallel/ paths: GoL fused-Pallas "
@@ -133,7 +137,10 @@ def main(argv=None):
                                  per_pixel=st.per_pixel,
                                  n_frames=args.animate, w=args.size,
                                  h=args.size, out_prefix=args.out,
-                                 overlay=args.overlay and bool(args.out))
+                                 overlay=args.overlay and bool(args.out),
+                                 gif_path=args.gif)
+        if args.gif:
+            print(f"wrote {args.gif}")
         med = sorted(times)[len(times) // 2]
         print(f"{args.animate} frames, median {med * 1e3:.2f} ms/frame "
               f"(sustained; incl. per-frame queue rebuild AND full-frame "
@@ -160,6 +167,7 @@ def main(argv=None):
     import inspect
 
     takes_tick = "tick" in inspect.signature(exp.render).parameters
+    gif_frames = [] if args.gif else None
     t_start = time.perf_counter()
     for i in range(args.frames):
         tick = i * args.ticks_per_frame
@@ -169,15 +177,24 @@ def main(argv=None):
             from ..core.font import draw_text
 
             fb = draw_text(fb, exp.status(state))
-        if args.out:
+        if args.out or gif_frames is not None:
             from ..core.framebuffer import to_rgb8_topleft, write_png
 
-            path = f"{args.out}_{i:03d}.png"
-            write_png(path, to_rgb8_topleft(fb))
-            print(f"wrote {path}")
+            if args.out:
+                path = f"{args.out}_{i:03d}.png"
+                write_png(path, to_rgb8_topleft(fb))
+                print(f"wrote {path}")
+            if gif_frames is not None:
+                gif_frames.append(to_rgb8_topleft(fb))
         print(f"[{i}] {exp.status(state)}")
     dt = time.perf_counter() - t_start
     print(f"{args.frames} frames in {dt:.3f}s ({args.frames / dt:.1f} FPS)")
+    if gif_frames:
+        from ..core.gif import write_gif
+
+        write_gif(args.gif, gif_frames,
+                  fps=min(30.0, max(2.0, args.frames / max(dt, 1e-3))))
+        print(f"wrote {args.gif}")
     if args.save_state:
         from ..core.checkpoint import save_state
 

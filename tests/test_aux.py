@@ -105,6 +105,53 @@ def test_get_tick_monotonic():
     assert b >= a >= 0.0
 
 
+# ------------------------------------------------------------------ gif
+
+def test_gif_roundtrip_exact_palette(tmp_path):
+    """Frames with <=256 distinct colors quantize losslessly; PIL must
+    decode every frame back bit-exact, with the loop flag and duration."""
+    PIL = pytest.importorskip("PIL.Image")
+    from rustexp_tpu.core.gif import write_gif
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (17, 3), np.uint8)
+    frames = [pal[rng.integers(0, len(pal), (40, 56))] for _ in range(3)]
+    path = str(tmp_path / "a.gif")
+    write_gif(path, frames, fps=20.0)
+
+    im = PIL.open(path)
+    assert im.size == (56, 40)
+    got = []
+    try:
+        while True:
+            got.append(np.asarray(im.convert("RGB")))
+            im.seek(im.tell() + 1)
+    except EOFError:
+        pass
+    assert len(got) == 3
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)
+    assert im.info.get("loop", None) == 0
+    assert im.info.get("duration", 0) == 50  # 20 fps -> 50 ms
+
+
+def test_gif_gradient_quantization_quality(tmp_path):
+    """A smooth gradient through the 256-color median-cut palette must
+    stay within a small per-channel error (no gross banding/corruption)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from rustexp_tpu.core.gif import write_gif
+
+    y, x = np.mgrid[0:64, 0:64]
+    f0 = np.stack([x * 4, y * 4, (x + y) * 2], axis=-1).astype(np.uint8)
+    f1 = np.roll(f0, 8, axis=1)
+    path = str(tmp_path / "g.gif")
+    write_gif(path, [f0, f1], fps=10.0)
+    im = PIL.open(path)
+    got0 = np.asarray(im.convert("RGB")).astype(np.int32)
+    err = np.abs(got0 - f0.astype(np.int32))
+    assert err.mean() < 4.0 and err.max() <= 48
+
+
 # ------------------------------------------------------------- platform
 
 def test_package_import_initializes_no_backend():
