@@ -196,6 +196,12 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
     sys.stdout.write("\x1b[2J")  # clear once
     esc_armed = False  # double-ESC guard against accidental exit (App.hs:53-59)
     vsync = True       # 'v' toggles the frame-rate cap (App.hs:63: vsync key)
+    # Global FPS header over a 60-deep ring, first 3 frames dropped as
+    # compile-warmup outliers (reference App.hs:135-150, 211).
+    from ..core.timing import FrameTimes
+
+    ftimes = FrameTimes(limit=60)
+    t_prev = time.perf_counter()
     with _RawTerm() as term:
         while frames is None or frame < frames:
             tick = time.perf_counter() - t0
@@ -242,7 +248,12 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
                 write_png(path, rgb)
                 shot += 1
 
-            status = f"[{exp.name}] {exp.status(states[cur])}"
+            t_now = time.perf_counter()
+            if frame >= 3:
+                ftimes.push(t_now - t_prev)
+            t_prev = t_now
+            head = f"{ftimes.status_string()} | " if ftimes.times else ""
+            status = f"{head}[{exp.name}] {exp.status(states[cur])}"
             if esc_armed:
                 status = "ESC again to exit | " + status
             if not vsync:
