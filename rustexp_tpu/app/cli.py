@@ -102,7 +102,8 @@ def main(argv=None):
         times = run_multidevice(args.experiment, args.devices, args.frames,
                                 args.size, args.out, overlay=args.overlay,
                                 steps_per_frame=args.steps_per_frame or 8,
-                                grid=args.grid, keys=args.keys)
+                                grid=args.grid, keys=args.keys,
+                                gif_path=args.gif)
         med = sorted(times)[len(times) // 2]
         print(f"{len(times)} frames, median {med * 1e3:.2f} ms "
               f"on {args.devices} devices")
@@ -137,7 +138,8 @@ def main(argv=None):
                                  per_pixel=st.per_pixel,
                                  n_frames=args.animate, w=args.size,
                                  h=args.size, out_prefix=args.out,
-                                 overlay=args.overlay and bool(args.out),
+                                 overlay=args.overlay and bool(args.out
+                                                               or args.gif),
                                  gif_path=args.gif)
         if args.gif:
             print(f"wrote {args.gif}")

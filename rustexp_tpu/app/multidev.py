@@ -47,7 +47,7 @@ def _mesh(n_dev: int, axis: str):
 def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
                     out: str, overlay: bool = True,
                     steps_per_frame: int = 8, grid: int = 0,
-                    keys: str = ""):
+                    keys: str = "", gif_path: str = ""):
     """Run `frames` sharded sim/render rounds; returns per-frame seconds.
 
     ``keys`` are the reference keybindings applied to a single-device
@@ -73,6 +73,7 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
 
     w = h = size
     times = []
+    gif_frames = [] if gif_path else None
 
     def present(i, fb, status):
         if overlay:
@@ -81,7 +82,17 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             path = f"{out}_{i:03d}.png"
             write_png(path, to_rgb8_topleft(np.asarray(fb)))
             print(f"wrote {path}")
+        if gif_frames is not None:
+            gif_frames.append(to_rgb8_topleft(np.asarray(fb)))
         print(f"[{i}] {status}")
+
+    def finish():
+        if gif_frames:
+            from ..core.gif import write_gif
+
+            write_gif(gif_path, gif_frames, fps=10.0)
+            print(f"wrote {gif_path}")
+        return times
 
     if experiment == "gol":
         from ..parallel import gol_shard
@@ -115,7 +126,7 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             cells = gw * gw * steps_per_frame / dt
             present(i, fb, f"{gw}x{gw} Grid, {gens} Gens, "
                            f"{n_dev} dev [{backend}], {cells:.3g} cells/s")
-        return times
+        return finish()
 
     if experiment == "nbody":
         from ..ops.nbody_bh import theta_to_k
@@ -164,7 +175,7 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             present(i, fb, f"{i + 1} Steps, SPS: {1 / dt:.0f}, "
                            f"{dt * 1e3:.2f}ms, {n} Bodies, {n_dev} dev, "
                            f"{label}")
-        return times
+        return finish()
 
     if experiment == "rasterizer":
         from ..assets import cubemap, mesh as mesh_assets
@@ -216,7 +227,7 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             present(i, fb, f"{1 / dt:.1f}FPS {dt * 1e3:.2f}ms | {n_dev} dev "
                            f"| {m.name} | {pp.sh.shader_name(rst.shader_idx)} "
                            f"| {m.num_tris} Tri")
-        return times
+        return finish()
 
     if experiment == "sine":
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -236,6 +247,6 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             dt = time.perf_counter() - t0
             times.append(dt)
             present(i, fb, f"sine {dt * 1e3:.2f}ms | {n_dev} dev")
-        return times
+        return finish()
 
     raise SystemExit(f"--devices does not support experiment {experiment!r}")

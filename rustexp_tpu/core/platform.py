@@ -63,11 +63,18 @@ def require_live_backend(timeout_s: int = 180) -> str:
     TPU (i.e. the user did NOT pin JAX_PLATFORMS=cpu) — an explicit CPU
     pin cannot hang, and skipping the probe keeps CPU startup instant.
     """
-    import os
+    import jax
 
-    p = os.environ.get("JAX_PLATFORMS", "")
-    if p.strip().lower() == "cpu":
+    p = (os.environ.get("JAX_PLATFORMS", "")
+         or (jax.config.jax_platforms or ""))
+    plats = p.strip().lower()
+    if plats == "cpu":
         return "cpu"
+    if not plats or set(plats.split(",")) <= {"cpu", "gpu", "cuda", "tpu"}:
+        # No exotic platform plugin configured — local backend init
+        # cannot hang on a dead tunnel, so skip the subprocess probe
+        # (it costs a full jax import on every CLI launch).
+        return plats or "default"
     backend = probe_backend(timeout_s)
     if backend is None:
         raise SystemExit(

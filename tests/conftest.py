@@ -25,26 +25,17 @@ import jax  # noqa: E402
 # that runs, and fail loudly if the pin didn't take.
 jax.config.update("jax_platforms", "cpu")
 
-# Key the cache dir by the host's CPU feature set: XLA:CPU AOT artifacts
+# Cache dir keyed by the host's CPU feature set: XLA:CPU AOT artifacts
 # embed machine features, and loading a cache populated on a different
 # host both warns ("machine type doesn't match") and can change fp
 # codegen — observed as 3-pixel diffs in an otherwise bit-exact test
-# after the terminal was re-provisioned onto different hardware.
-def _cpu_cache_dir():
-    import hashlib
+# after the terminal was re-provisioned onto different hardware. The
+# keying lives in core.platform (shared with the CLI's explicit-CPU
+# cache); importing it is safe — the package is import-time device-free
+# (pinned by tests/test_aux.py::test_package_import_initializes_no_backend).
+from rustexp_tpu.core.platform import cpu_cache_dir  # noqa: E402
 
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = "".join(l for l in f if l.startswith("flags"))
-    except OSError:
-        flags = ""
-    import platform as _plat
-
-    key = hashlib.sha1((_plat.machine() + flags).encode()).hexdigest()[:10]
-    return os.path.expanduser(f"~/.cache/rustexp_tpu_xla_cache_{key}")
-
-
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 assert jax.default_backend() == "cpu", (
