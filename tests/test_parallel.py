@@ -374,6 +374,49 @@ def test_production_paths_multihost_mesh():
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # SWAR bit-packed GoL (the fastest kernel) over the same 2-D mesh
+    g = jnp.asarray(rng.integers(0, 2, (256, 128)).astype(np.int32))
+    bstep = gol_shard.make_multi_step(mesh2, axis=ax, k=4, backend="bits")
+    bgot = np.asarray(bstep(gol_shard.shard_grid(g, mesh2, axis=ax)))
+    np.testing.assert_array_equal(
+        bgot, np.asarray(gol_stencil.multi_step(g, 4, "roll")))
+
+
+def test_raster_queue_multihost_mesh():
+    """The PRODUCTION flat-queue renderers (cached bands + per-frame
+    in-graph rebuild) over a 2-D ("dcn", "ici") mesh — bit-exact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rustexp_tpu.assets import cubemap, mesh as mesh_assets
+    from rustexp_tpu.parallel import raster_shard
+    from rustexp_tpu.raster import camera, pipeline as pp
+
+    w = h = 128
+    ax = ("dcn", "ici")
+    mesh2 = _mesh2()
+    scene = pp.make_scene(mesh_assets.make_sphere(12, 24),
+                          cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(0.5))
+    queue1 = pp.build_scene_queue(scene, eye, w, h)
+    bg = pp.background(0, w, h)
+    want, _ = pp.raster_and_shade_queue(
+        scene, queue1, None, eye, jnp.float32(0.5), w=w, h=h,
+        per_pixel=True, shader_idx=5, bg_fb=bg)
+
+    queues = raster_shard.build_band_queues(scene, eye, w=w, h=h, n_dev=8)
+    queues = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh2, P(ax))), queues)
+    render = raster_shard.make_sharded_queue_render(
+        mesh2, scene, eye, w=w, h=h, per_pixel=True, shader_idx=5, axis=ax)
+    got, stale = render(scene, queues, eye, jnp.float32(0.5))
+    assert not bool(stale)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    mrender = raster_shard.make_sharded_queue_render_moving(
+        mesh2, scene, [eye], w=w, h=h, per_pixel=True, shader_idx=5, axis=ax)
+    got2, stale2 = mrender(scene, eye, jnp.float32(0.5))
+    assert not bool(stale2)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
 
 def test_gol_sharded_pallas_big_grid():
     """2048^2 exceeds the single-chip VMEM-resident kernel (~640k cells);
