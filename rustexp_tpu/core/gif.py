@@ -53,6 +53,20 @@ def _quantize(frame: np.ndarray, palette: np.ndarray,
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW; native C++ encoder with this module's pure-Python
+    form as the fallback (byte-identical, test-pinned)."""
+    try:
+        from ..native import gif_lzw
+
+        enc = gif_lzw(indices, min_code_size)
+        if enc is not None:
+            return enc
+    except Exception:
+        pass
+    return _lzw_encode_py(indices, min_code_size)
+
+
+def _lzw_encode_py(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF-variant LZW over a flat uint8 index stream."""
     clear = 1 << min_code_size
     end = clear + 1

