@@ -4,7 +4,6 @@ Pure-Python planner checks pin the measured hardware optima (they must
 never silently change), and tiny interpret-mode runs lock the
 bench_gol banded branch and the chain helper's remainder dispatch."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

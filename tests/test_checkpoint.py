@@ -2,7 +2,6 @@
 aux subsystem — the reference can only re-seed, SURVEY.md §5)."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from rustexp_tpu.core.checkpoint import load_state, save_state
