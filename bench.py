@@ -5,16 +5,33 @@ Headline: shaded-rasterization throughput in Mpix/s over the reference's
 12-scene benchmark suite (rasterizer.rs:1781-1884: 512x512, Fill, shader 5
 CMRefl, envmap Grace, tick 0; best-of-N timing). `vs_baseline` is the speedup
 of the suite total vs the reference CPU's stored 27,286 us total
-(BASELINE.md). Falls back to earlier-milestone metrics while later stages are
-still under construction.
+(BASELINE.md).
+
+Tunnel robustness (VERDICT r3 weak #1): the axon remote-TPU tunnel can die
+mid-run, hanging the in-flight dispatch forever — round 3 lost its entire
+bench to that. This harness therefore:
+  * persists every completed metric to BENCH_PARTIAL.jsonl the moment it
+    lands (fsync'd), and resumes from it on re-runs at the same commit;
+  * orders the work so headline metrics land first (SWAR GoL, block-BH,
+    two raster scenes) before the long tail of the suite;
+  * runs a watchdog that, if any single step exceeds its budget, prints
+    the summary of whatever is complete and force-exits — a tunnel window
+    shorter than the suite still produces real numbers (with a
+    ``partial``/``stale`` marker instead of silence).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
+from pathlib import Path
 
+ROOT = Path(__file__).resolve().parent
+PARTIAL = ROOT / "BENCH_PARTIAL.jsonl"
 
 # NOTE: do NOT enable the persistent XLA compile cache here. Measured on
 # the axon (remote-TPU tunnel) platform: cache WRITES succeed but the
@@ -23,24 +40,137 @@ import time
 # The 12-scene suite therefore pays ~7 min of cold compiles per process.
 
 
-def _best_seconds(fn, runs=20, warmup=2):
-    for _ in range(warmup):
-        fn()
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _git_sha() -> str:
+    try:
+        out = subprocess.run(["git", "-C", str(ROOT), "rev-parse",
+                              "--short", "HEAD"],
+                             capture_output=True, text=True, timeout=10)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
-def bench_rasterizer():
-    from rustexp_tpu.app.benchmark import run_suite
+class Recorder:
+    """Append-only metric store surviving a mid-run tunnel death."""
 
-    return run_suite(runs=20)
+    def __init__(self):
+        self.sha = _git_sha()
+        self.results: dict[str, dict] = {}
+        self.reused: list[str] = []
+        if PARTIAL.exists():
+            for line in PARTIAL.read_text().splitlines():
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("sha") == self.sha and rec.get("name"):
+                    if rec["name"] not in self.results:
+                        self.reused.append(rec["name"])
+                    self.results[rec["name"]] = rec["payload"]
+
+    def done(self, name: str) -> bool:
+        return name in self.results
+
+    def record(self, name: str, payload: dict) -> None:
+        self.results[name] = payload
+        if name in self.reused:
+            self.reused.remove(name)
+        with PARTIAL.open("a") as f:
+            f.write(json.dumps({"name": name, "payload": payload,
+                                "sha": self.sha, "t": time.time()}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        print(f"# recorded {name}: {payload}", file=sys.stderr, flush=True)
 
 
-def bench_sine():
+class Watchdog:
+    """Emit the partial summary and hard-exit if a step wedges.
+
+    A dead tunnel hangs the dispatch inside the PJRT client — no Python
+    exception ever surfaces, so only an out-of-band thread can salvage
+    the already-recorded metrics.
+    """
+
+    def __init__(self, emit, budget_s: float = 900.0):
+        self._deadline = time.monotonic() + budget_s
+        self._emit = emit
+        self._lock = threading.Lock()
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def beat(self, budget_s: float) -> None:
+        with self._lock:
+            self._deadline = time.monotonic() + budget_s
+
+    def _run(self) -> None:
+        while True:
+            time.sleep(5)
+            with self._lock:
+                late = time.monotonic() > self._deadline
+            if late:
+                print("# watchdog: step budget exceeded (tunnel death "
+                      "mid-dispatch?) — emitting partial results",
+                      file=sys.stderr, flush=True)
+                try:
+                    self._emit(partial=True)
+                finally:
+                    os._exit(0)
+
+
+def compose_summary(rec: Recorder, partial: bool = False) -> dict:
+    """One JSON line from whatever metrics are complete."""
+    from rustexp_tpu.app.benchmark import SCENES, W, H
+
+    r = rec.results
+    scenes = {name: r[f"scene:{name}"] for name, *_ in SCENES
+              if f"scene:{name}" in r}
+    out: dict = {}
+    if scenes:
+        total_us = sum(v["us"] for v in scenes.values())
+        ref_total = sum(v["ref_us"] for v in scenes.values())
+        complete = len(scenes) == len(SCENES)
+        out = {
+            "metric": ("raster_suite_Mpix_per_s" if complete
+                       else "raster_suite_partial_Mpix_per_s"),
+            "value": round(len(scenes) * W * H / total_us, 1),
+            "unit": "Mpix/s",
+            "vs_baseline": round(ref_total / total_us, 3),
+            "suite_total_us": round(total_us),
+            "scenes_done": len(scenes),
+            "scene_us": {k: round(v["us"], 1) for k, v in scenes.items()},
+        }
+    elif "gol_256" in r:
+        out = {"metric": "gol_cell_updates_per_s",
+               "value": r["gol_256"]["value"], "unit": "cells/s",
+               "vs_baseline": None}
+    elif "sine" in r:
+        out = dict(r["sine"])
+    else:
+        out = {"metric": "backend_unavailable", "value": 0, "unit": "error",
+               "vs_baseline": None,
+               "error": "jax backend init hung/failed (TPU tunnel down?) — "
+                        "no measurement taken; see BENCH history for real "
+                        "numbers from this tree"}
+    if "gol_256" in r:
+        out["gol_cell_updates_per_s"] = r["gol_256"]["value"]
+        out["gol_gens_per_s"] = r["gol_256"]["gens_per_s"]
+    if "gol_2048" in r:
+        out["gol_2048_cell_updates_per_s"] = r["gol_2048"]["value"]
+    if "nbody_bh" in r:
+        out["nbody_bh_steps_per_s_131k"] = r["nbody_bh"]["value"]
+    if "nbody_brute" in r:
+        out["nbody_brute_steps_per_s_131k"] = r["nbody_brute"]["value"]
+    if "moving_killeroo" in r:
+        out["raster_moving_camera_us_KillerooP"] = r["moving_killeroo"]["value"]
+    if partial:
+        out["partial"] = True
+    if rec.reused:
+        out["stale"] = True
+        out["reused_from_partial"] = sorted(rec.reused)
+    out["sha"] = rec.sha
+    return out
+
+
+def bench_sine() -> dict:
     import jax
     import jax.numpy as jnp
     from rustexp_tpu.sims.sine import sine_frame
@@ -48,79 +178,109 @@ def bench_sine():
     w = h = 512
     wi = jnp.arange(w, dtype=jnp.float32)
     hi = jnp.arange(h, dtype=jnp.float32)
-    best = _best_seconds(lambda: jax.block_until_ready(sine_frame(wi, hi, 0.5)))
-    mpix_s = (w * h) / best / 1e6
-    return {
-        "metric": "sine_fill_Mpix_per_s",
-        "value": round(mpix_s, 1),
-        "unit": "Mpix/s",
-        "vs_baseline": None,
-    }
+    run = lambda: jax.block_until_ready(sine_frame(wi, hi, 0.5))
+    for _ in range(2):
+        run()
+    best = float("inf")
+    for _ in range(20):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return {"metric": "sine_fill_Mpix_per_s",
+            "value": round(w * h / best / 1e6, 1),
+            "unit": "Mpix/s", "vs_baseline": None}
 
 
 def main():
+    rec = Recorder()
+
+    def emit(partial: bool = False):
+        print(json.dumps(compose_summary(rec, partial=partial)), flush=True)
+
+    wd = Watchdog(emit, budget_s=900.0)
+
     # Probe in a subprocess with a hard timeout — the axon backend hangs
     # forever inside device init when the tunnel relay is down. Importing
     # rustexp_tpu here is safe: the package is import-time device-free.
     # The tunnel FLAPS (observed: relay dies and is restarted minutes to
-    # hours later), so retry within a bounded window before giving up —
-    # a round-end bench that lands in a brief outage should still record
-    # real numbers. A live backend answers the first probe in seconds.
+    # hours later), so retry within a bounded window before giving up.
     from rustexp_tpu.core.platform import probe_backend
 
+    wd.beat(1000.0)
     deadline = time.monotonic() + 600
     backend = probe_backend(timeout_s=150)
     while backend is None and time.monotonic() < deadline:
         print("# backend probe failed; retrying (tunnel flap?)",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
         time.sleep(60)
         backend = probe_backend(timeout_s=150)
     if backend is None:
-        print(json.dumps({
-            "metric": "backend_unavailable",
-            "value": 0,
-            "unit": "error",
-            "vs_baseline": None,
-            "error": "jax backend init hung/failed (TPU tunnel down?) — "
-                     "no measurement taken; see BENCH history for real "
-                     "numbers from this tree",
-        }))
+        emit()
         sys.exit(1)
-    print(f"# backend: {backend}", file=sys.stderr)
+    print(f"# backend: {backend}", file=sys.stderr, flush=True)
     from rustexp_tpu.core.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
 
-    try:
-        result = bench_rasterizer()
-    except Exception as e:  # raster suite not ready yet — fall back
-        print(f"# rasterizer bench unavailable ({type(e).__name__}: {e}), "
-              f"falling back to sine fill", file=sys.stderr)
-        result = bench_sine()
+    from rustexp_tpu.app import benchmark as bm
 
-    # Secondary headline metrics (BASELINE.json north stars), folded into
-    # the same JSON line so every round's numbers are driver-recorded.
-    from rustexp_tpu.app.benchmark import bench_gol, bench_nbody
+    # Headline metrics first (VERDICT r3 next-1): SWAR GoL + block-BH +
+    # two raster scenes land inside the first few minutes of a live
+    # tunnel; the long tail of the suite follows.
+    headline_scenes = ("KillerooP", "CornellBoxV")
+    steps: list[tuple[str, float, object]] = [
+        ("gol_256", 600, lambda: bm.bench_gol()),
+        ("nbody_bh", 600, lambda: bm.bench_nbody(backend="bh")),
+    ]
+    scene_by_name = {name: (name, mesh_idx, per_pixel, ref_us)
+                     for name, mesh_idx, per_pixel, ref_us in bm.SCENES}
 
-    try:
-        gol = bench_gol()
-        result["gol_cell_updates_per_s"] = gol["value"]
-        result["gol_gens_per_s"] = gol["gens_per_s"]
-    except Exception as e:
-        print(f"# gol bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-    try:
-        nb = bench_nbody(backend="bh")
-        result["nbody_bh_steps_per_s_131k"] = nb["value"]
-    except Exception as e:
-        print(f"# nbody bh bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    try:
-        nb = bench_nbody(backend="pallas", steps_per_dispatch=32)
-        result["nbody_brute_steps_per_s_131k"] = nb["value"]
-    except Exception as e:
-        print(f"# nbody brute bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    print(json.dumps(result))
+    def scene_step(name):
+        _, mesh_idx, per_pixel, ref_us = scene_by_name[name]
+
+        def run():
+            best = bm.bench_scene(mesh_idx, per_pixel, runs=20)
+            return {"us": best * 1e6, "ref_us": ref_us,
+                    "speedup": round(ref_us / (best * 1e6), 3)}
+        return run
+
+    for name in headline_scenes:
+        steps.append((f"scene:{name}", 900, scene_step(name)))
+    steps += [
+        ("gol_2048", 600, lambda: bm.bench_gol(n=2048,
+                                               generations_per_dispatch=16384)),
+        ("nbody_brute", 600, lambda: bm.bench_nbody(backend="pallas",
+                                                    steps_per_dispatch=32)),
+    ]
+    for name, *_ in bm.SCENES:
+        if name not in headline_scenes:
+            steps.append((f"scene:{name}", 900, scene_step(name)))
+    steps.append(("moving_killeroo", 900, lambda: bm.bench_scene_moving()))
+
+    for name, budget, fn in steps:
+        if rec.done(name):
+            # Resume: a previous process at this commit already measured
+            # it — skip straight to the incomplete metrics so a second
+            # tunnel window isn't spent re-earning the first window's
+            # numbers (the summary carries a ``stale`` marker).
+            print(f"# reusing {name} from BENCH_PARTIAL (same sha)",
+                  file=sys.stderr, flush=True)
+            continue
+        wd.beat(budget)
+        try:
+            rec.record(name, fn())
+        except Exception as e:
+            print(f"# {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    wd.beat(300)
+
+    if not rec.results:
+        try:
+            rec.record("sine", bench_sine())
+        except Exception as e:
+            print(f"# sine fallback failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    emit()
 
 
 if __name__ == "__main__":

@@ -107,10 +107,21 @@ def run_multidevice(experiment: str, n_dev: int, frames: int, size: int,
             st = exp.handle_key(st, kk)
         g0 = jnp.asarray(st.grid, jnp.int32)
         # "bits" (SWAR) for big grids — the only backend that scales past
-        # the per-shard VMEM budget; the reference-size 256^2 keeps the
-        # fused f32 kernel whose 32-row shard minimum would reject tiny
-        # shards on wide meshes.
-        backend = "bits" if gw >= 32 * n_dev and gw > GRID_WDH else "pallas"
+        # the per-shard VMEM budget — but its packed words need per-shard
+        # rows % 32 == 0 (ADVICE r3: --grid 320 --devices 8 = 40 rows
+        # crashed instead of falling back); "pallas" (fused f32) needs a
+        # 32-row shard minimum; "roll" handles anything that shards.
+        if gw % n_dev:
+            raise SystemExit(
+                f"--grid {gw} doesn't divide over {n_dev} devices; "
+                f"pick a grid divisible by the device count")
+        rows = gw // n_dev
+        if rows % 32 == 0 and gw > GRID_WDH:
+            backend = "bits"
+        elif rows >= 32:
+            backend = "pallas"
+        else:
+            backend = "roll"
         step = gol_shard.make_multi_step(mesh, k=steps_per_frame,
                                          backend=backend)
         g = gol_shard.shard_grid(g0, mesh)

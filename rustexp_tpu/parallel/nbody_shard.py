@@ -26,6 +26,10 @@ def make_step(mesh: Mesh, axis="p"):
     Signature of the returned fn: (px, py, vx, vy, m, dt) — dt is a TRACED
     (replicated) argument, so the reference's interactive X/x dt-doubling
     keys (RustNBodyExperiment.hs:89-90) never trigger a recompile.
+    Returns (px, py, vx, vy, m) — mass passes through unchanged so the
+    output is directly reusable as the next step's input, same contract
+    as make_step_bh (ADVICE r3: the --devices loop fed a 4-tuple back
+    into the 6-arg step and crashed on frame 2).
 
     Particle count must divide the mesh size. `axis` may be a tuple like
     ("dcn", "ici") for multi-host meshes: the source all-gather is then
@@ -37,7 +41,7 @@ def make_step(mesh: Mesh, axis="p"):
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
     )
     def step(px, py, vx, vy, m, dt):
         # gather all sources over ICI; targets stay local
@@ -57,7 +61,7 @@ def make_step(mesh: Mesh, axis="p"):
         fy = jnp.sum(f * dy, axis=1)
         vx = vx + dt * fx / m
         vy = vy + dt * fy / m
-        return px + dt * vx, py + dt * vy, vx, vy
+        return px + dt * vx, py + dt * vy, vx, vy, m
 
     return jax.jit(step)
 
@@ -98,8 +102,10 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
         # Derive from the reference's default theta so the calibrated
         # K(theta) (cross-calibrated vs the reference quadtree; see
         # ops/nbody_bh.theta_to_k) can't silently go stale here again.
-        # n_blocks is unknown until trace time; pass a large cap — the
-        # [:, :K] near-set slice clamps to the real block count anyway.
+        # n_blocks is unknown until trace time; pass a large cap — it is
+        # clamped to the real block count inside step once B is known
+        # (ADVICE r3: an unclamped fori_loop bound past B would silently
+        # double-count the last near block via clamped traced indexing).
         k_near = theta_to_k(0.85, 1 << 30)
 
     @partial(
@@ -122,6 +128,7 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
         B = n // block
         nb_loc = B // n_dev
         assert n % block == 0 and B % n_dev == 0
+        kn = min(k_near, B)  # shapes are static at trace time
 
         # 2. replicated sort + aggregates (identical on every device);
         # the sort's Pallas path needs interpret mode off-TPU, keyed by
@@ -137,7 +144,7 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
         cx = jnp.sum(xb * mb, axis=1) * inv
         cy = jnp.sum(yb * mb, axis=1) * inv
         idx = near_block_indices(xb.min(1), xb.max(1), yb.min(1), yb.max(1),
-                                 k_near)                     # [B, K]
+                                 kn)                         # [B, K]
 
         # 3. local target slice: contiguous blocks [b0, b0 + nb_loc)
         dev = lax.axis_index(axis)
@@ -157,7 +164,7 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
             r = mss[:, None, :] / (dx * dx + dy * dy + EPS)
             return fx + jnp.sum(r * dx, axis=2), fy + jnp.sum(r * dy, axis=2)
 
-        fx, fy = lax.fori_loop(0, k_near, body,
+        fx, fy = lax.fori_loop(0, kn, body,
                                (jnp.zeros_like(xt), jnp.zeros_like(yt)))
 
         nearmask = jnp.zeros((nb_loc, B), bool).at[
