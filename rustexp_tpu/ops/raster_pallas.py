@@ -186,9 +186,12 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
         in_box = ((xs >= ci(7)) & (ys >= ci(8))
                   & (xs < ci(9)) & (ys < ci(10)))  # padding slots: max=0
         inv_a2 = cf(6)
-        b0 = e0.astype(jnp.float32) * inv_a2 - cf(0)
-        b1 = e1.astype(jnp.float32) * inv_a2 - cf(1)
-        b2 = e2.astype(jnp.float32) * inv_a2 - cf(2)
+        # Integer de-bias, then ONE f32 rounding at the product — the
+        # reference's (e - e_add - 1) as f32 * inv_tri_a2 semantics
+        # (rasterizer.rs:1695-1697). cf(0..2) hold f32-encoded {1, 2}.
+        b0 = (e0 - cf(0).astype(jnp.int32)).astype(jnp.float32) * inv_a2
+        b1 = (e1 - cf(1).astype(jnp.int32)).astype(jnp.float32) * inv_a2
+        b2 = (e2 - cf(2).astype(jnp.int32)).astype(jnp.float32) * inv_a2
         zi = cf(3) + cf(4) * b2 + cf(5) * b0
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))  # [G, th, tw]
 
@@ -367,9 +370,12 @@ def _attr_tile_kernel(counts_ref, si_ref, sf_ref, *out_refs,
         in_box = ((xs >= ci(7)) & (ys >= ci(8))
                   & (xs < ci(9)) & (ys < ci(10)))
         inv_a2 = cf(6)
-        b0 = e0.astype(jnp.float32) * inv_a2 - cf(0)
-        b1 = e1.astype(jnp.float32) * inv_a2 - cf(1)
-        b2 = e2.astype(jnp.float32) * inv_a2 - cf(2)
+        # Integer de-bias, then ONE f32 rounding at the product — the
+        # reference's (e - e_add - 1) as f32 * inv_tri_a2 semantics
+        # (rasterizer.rs:1695-1697). cf(0..2) hold f32-encoded {1, 2}.
+        b0 = (e0 - cf(0).astype(jnp.int32)).astype(jnp.float32) * inv_a2
+        b1 = (e1 - cf(1).astype(jnp.int32)).astype(jnp.float32) * inv_a2
+        b2 = (e2 - cf(2).astype(jnp.int32)).astype(jnp.float32) * inv_a2
         zi = cf(3) + cf(4) * b2 + cf(5) * b0
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
 

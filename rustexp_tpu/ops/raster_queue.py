@@ -383,9 +383,14 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
         inside = (e0 | e1 | e2) >= 0
         in_box = (xs >= mnx) & (ys >= mny) & (xs < mxx) & (ys < mxy)
         inv_a2 = rows_f_ref[0, 6, p]
-        b0 = e0.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 0, p]
-        b1 = e1.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 1, p]
-        b2 = e2.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 2, p]
+        # Integer de-bias, then ONE f32 rounding at the product
+        # (rasterizer.rs:1695-1697); f channels 0..2 hold f32-encoded {1,2}.
+        b0 = (e0 - rows_f_ref[0, 0, p].astype(jnp.int32)).astype(
+            jnp.float32) * inv_a2
+        b1 = (e1 - rows_f_ref[0, 1, p].astype(jnp.int32)).astype(
+            jnp.float32) * inv_a2
+        b2 = (e2 - rows_f_ref[0, 2, p].astype(jnp.int32)).astype(
+            jnp.float32) * inv_a2
         zi = (rows_f_ref[0, 3, p] + rows_f_ref[0, 4, p] * b2
               + rows_f_ref[0, 5, p] * b0)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
@@ -465,8 +470,10 @@ def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
         inside = (e0 | e1 | e2) >= 0
         in_box = (xs >= mnx) & (ys >= mny) & (xs < mxx) & (ys < mxy)
         inv_a2 = rows_f_ref[0, 6, p]
-        b0 = e0.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 0, p]
-        b2 = e2.astype(jnp.float32) * inv_a2 - rows_f_ref[0, 2, p]
+        b0 = (e0 - rows_f_ref[0, 0, p].astype(jnp.int32)).astype(
+            jnp.float32) * inv_a2
+        b2 = (e2 - rows_f_ref[0, 2, p].astype(jnp.int32)).astype(
+            jnp.float32) * inv_a2
         zi = (rows_f_ref[0, 3, p] + rows_f_ref[0, 4, p] * b2
               + rows_f_ref[0, 5, p] * b0)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))

@@ -25,14 +25,20 @@ class TriSetup(NamedTuple):
 
     Edge i of the reference (e0: v0->v1, e1: v1->v2, e2: v2->v0) evaluates at
     pixel (x, y) as ``A[i]*(x<<4) + B[i]*(y<<4) + C[i]`` in int32; inside =
-    sign-OR of all three >= 0. Barycentric b_i = e_i * inv_a2 - bias_i, with
-    vertex weights (v0, v1, v2) <- (b1, b2, b0).
+    sign-OR of all three >= 0. Barycentric b_i = f32(e_i - bias_i) * inv_a2
+    — the de-bias happens in INTEGERS so the product is the only f32
+    rounding, exactly like the reference's
+    ``(e0x - e0add - 1) as f32 * inv_tri_a2`` (rasterizer.rs:1695-1697).
+    Vertex weights (v0, v1, v2) <- (b1, b2, b0).
     """
 
     A: jnp.ndarray        # i32 [T, 3] x-gradients (dy01, dy12, dy20)
     B: jnp.ndarray        # i32 [T, 3] y-gradients (dx10, dx21, dx02)
     C: jnp.ndarray        # i32 [T, 3] constants, fill bias + sign-OR bias folded in
-    bias: jnp.ndarray     # f32 [T, 3] (e_add + 1) * inv_a2, subtract for barycentrics
+    bias: jnp.ndarray     # f32 [T, 3] integer de-bias (e_add + 1) ∈ {1, 2},
+                          #            f32-encoded for channel packing; convert
+                          #            to i32 and subtract from e BEFORE the
+                          #            single f32 rounding
     inv_a2: jnp.ndarray   # f32 [T]    reciprocal of 2*area
     z0: jnp.ndarray       # f32 [T]    z at v0
     z10: jnp.ndarray      # f32 [T]    z(v1) - z(v0)
@@ -64,7 +70,7 @@ class TriSetupP(NamedTuple):
     C2: jnp.ndarray       # i32 [T] (kept for S and the oracle converter)
     A2: jnp.ndarray       # i32 [T] edge-2 x-gradient (dy20)
     B2: jnp.ndarray       # i32 [T] edge-2 y-gradient (dx02)
-    bias0: jnp.ndarray    # f32 [T] (e_add + 1) * inv_a2 per edge
+    bias0: jnp.ndarray    # f32 [T] integer de-bias (e_add + 1), f32-encoded
     bias1: jnp.ndarray    # f32 [T]
     bias2: jnp.ndarray    # f32 [T]
     inv_a2: jnp.ndarray   # f32 [T]
@@ -150,9 +156,9 @@ def setup_triangles_planar(xs, ys, zs, w: int, h: int,
     return TriSetupP(
         A0=dy01, A1=dy12, B0=dx10, B1=dx21, C0=C0, C1=C1, C2=C2,
         A2=dy20, B2=dx02,
-        bias0=(e0a + 1).astype(jnp.float32) * inv_a2,
-        bias1=(e1a + 1).astype(jnp.float32) * inv_a2,
-        bias2=(e2a + 1).astype(jnp.float32) * inv_a2,
+        bias0=(e0a + 1).astype(jnp.float32),
+        bias1=(e1a + 1).astype(jnp.float32),
+        bias2=(e2a + 1).astype(jnp.float32),
         inv_a2=inv_a2, z0=z0, z10=zs[1] - z0, z20=zs[2] - z0,
         min_x=min_x, min_y=min_y, max_x=max_x, max_y=max_y, valid=valid,
     )
@@ -224,7 +230,7 @@ def setup_triangles_v(v0, v1, v2, w: int, h: int, y_shift=0) -> TriSetup:
     A = jnp.stack([dy01, dy12, dy20], axis=1)
     B = jnp.stack([dx10, dx21, dx02], axis=1)
     C = jnp.stack([C0, C1, C2], axis=1)
-    bias = (jnp.stack([e0a, e1a, e2a], axis=1) + 1).astype(jnp.float32) * inv_a2[:, None]
+    bias = (jnp.stack([e0a, e1a, e2a], axis=1) + 1).astype(jnp.float32)
 
     return TriSetup(
         A=A, B=B, C=C, bias=bias, inv_a2=inv_a2,

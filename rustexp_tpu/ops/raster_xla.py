@@ -48,9 +48,15 @@ def raster_gbuffer_xla(setup: TriSetup, h: int, w: int) -> GBuffer:
             (xs >= setup.min_x[i]) & (xs < setup.max_x[i])
             & (ys >= setup.min_y[i]) & (ys < setup.max_y[i])
         )
-        b0 = e0.astype(jnp.float32) * setup.inv_a2[i] - setup.bias[i, 0]
-        b1 = e1.astype(jnp.float32) * setup.inv_a2[i] - setup.bias[i, 1]
-        b2 = e2.astype(jnp.float32) * setup.inv_a2[i] - setup.bias[i, 2]
+        # Integer de-bias first, so the product is the single f32 rounding
+        # (the reference's (e0x - e0add - 1) as f32 * inv_tri_a2,
+        # rasterizer.rs:1695-1697).
+        b0 = (e0 - setup.bias[i, 0].astype(jnp.int32)).astype(jnp.float32) \
+            * setup.inv_a2[i]
+        b1 = (e1 - setup.bias[i, 1].astype(jnp.int32)).astype(jnp.float32) \
+            * setup.inv_a2[i]
+        b2 = (e2 - setup.bias[i, 2].astype(jnp.int32)).astype(jnp.float32) \
+            * setup.inv_a2[i]
         zi = setup.z0[i] + setup.z10[i] * b2 + setup.z20[i] * b0
         upd = setup.valid[i] & inside & in_box & (zi < z)
         z = jnp.where(upd, zi, z)

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.colors import pack_abgr32, pack_abgr32_gamma_arith
 from ..ops.raster_setup import setup_triangles
@@ -112,25 +113,117 @@ def make_scene(mesh, cm_set) -> Scene:
 # ---------------------------------------------------------------------------
 
 
+# --- strict-IEEE accumulation (VERDICT r3 next-6) ------------------------
+#
+# The reference's vertex transform is scalar f32 with per-op rounding and a
+# fixed left-to-right accumulation order (nalgebra matmuls,
+# rasterizer.rs:1180-1230; the parity oracle's m4_mul/m4_mul_v4 spell the
+# order out). XLA preserves that order at the HLO level, but the CPU
+# backend's LLVM codegen contracts mul+add pairs into FMAs regardless of
+# every available flag (measured in tools/xform_parity.py: eager matches the
+# scalar order bit-for-bit, any jitted mul->add chain is 1 ulp off). The
+# escape is to launder each product's bits through integer ops keyed by a
+# runtime-zero no compiler can constant-fold: the product must then be
+# rounded to a real f32 before the add, which is exactly the reference's
+# semantics. Costs two integer ops per protected product — immeasurable
+# next to rasterization; elementwise [4,T] rows instead of [4,4]x[4,T]
+# einsums is the same VPU work on TPU (the contraction axis is only 4).
+
+
+def _seal_zero(v):
+    """An int32 0 derived from a traced value — opaque to constant folding."""
+    return (v.reshape(-1)[0] * 0.0).astype(jnp.int32)
+
+
+def _seal(x, z):
+    """Round x to its stored f32 value: blocks FMA contraction of x into a
+    following add by routing the bits through integer ops (identity at
+    runtime, since z is always 0)."""
+    return lax.bitcast_convert_type(
+        lax.bitcast_convert_type(x, jnp.int32) ^ z, jnp.float32)
+
+
+def _dot3_exact(a, b, z):
+    return _seal(a[0] * b[0], z) + _seal(a[1] * b[1], z) + _seal(a[2] * b[2], z)
+
+
+def _cross3_exact(a, b, z):
+    return jnp.stack([
+        _seal(a[1] * b[2], z) - _seal(a[2] * b[1], z),
+        _seal(a[2] * b[0], z) - _seal(a[0] * b[2], z),
+        _seal(a[0] * b[1], z) - _seal(a[1] * b[0], z),
+    ])
+
+
+def _mm4_exact(a, b, z):
+    """Fixed-order 4x4 @ 4x4: s = a[i,0]*b[0,j]; s += a[i,1]*b[1,j]; ...
+    (the oracle's m4_mul; nalgebra's Mul accumulates in the same order)."""
+    s = _seal(a[:, 0:1] * b[0:1, :], z)
+    s = s + _seal(a[:, 1:2] * b[1:2, :], z)
+    s = s + _seal(a[:, 2:3] * b[2:3, :], z)
+    s = s + _seal(a[:, 3:4] * b[3:4, :], z)
+    return s
+
+
+def _mv4_exact(m4, v, z):
+    """Fixed-order [4,4] x [4,T] -> [4,T] (the oracle's m4_mul_v4)."""
+    s = _seal(m4[:, 0:1] * v[0:1], z)
+    s = s + _seal(m4[:, 1:2] * v[1:2], z)
+    s = s + _seal(m4[:, 2:3] * v[2:3], z)
+    s = s + _seal(m4[:, 3:4] * v[3:4], z)
+    return s
+
+
+def _mv3_exact(m3, v, z):
+    """Fixed-order [3,3] x [3,T] -> [3,T] (the oracle's normal transform)."""
+    s = _seal(m3[:, 0:1] * v[0:1], z)
+    s = s + _seal(m3[:, 1:2] * v[1:2], z)
+    s = s + _seal(m3[:, 2:3] * v[2:3], z)
+    return s
+
+
 def look_at(eye, at, up):
-    zaxis = sh.normalize(eye - at)
-    xaxis = sh.normalize(jnp.cross(up, zaxis))
-    yaxis = jnp.cross(zaxis, xaxis)
-    R = jnp.stack([xaxis, yaxis, zaxis])          # rows
-    t = -R @ eye
-    return jnp.concatenate(
-        [jnp.concatenate([R, t[:, None]], axis=1),
-         jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=jnp.float32)],
-        axis=0,
-    )
+    """Reference look_at (rasterizer.rs:1236-1245): division-form normalize,
+    left-to-right dots, translation column dot(-eye, axis) — per-op f32."""
+    z = _seal_zero(eye)
+    za = eye - at
+    za = za / jnp.sqrt(_dot3_exact(za, za, z))
+    xa = _cross3_exact(up, za, z)
+    xa = xa / jnp.sqrt(_dot3_exact(xa, xa, z))
+    ya = _cross3_exact(za, xa, z)
+    ne = -eye
+    return jnp.stack([
+        jnp.stack([xa[0], xa[1], xa[2], _dot3_exact(ne, xa, z)]),
+        jnp.stack([ya[0], ya[1], ya[2], _dot3_exact(ne, ya, z)]),
+        jnp.stack([za[0], za[1], za[2], _dot3_exact(ne, za, z)]),
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32),
+    ])
+
+
+try:
+    import ctypes as _ct
+
+    _libm = _ct.CDLL("libm.so.6")
+    _libm.tanf.restype = _ct.c_float
+    _libm.tanf.argtypes = [_ct.c_float]
+
+    def _tanf(x) -> np.float32:
+        return np.float32(_libm.tanf(float(np.float32(x))))
+except Exception:  # non-glibc host
+    def _tanf(x) -> np.float32:
+        return np.tan(np.float32(x))
 
 
 def perspective(fovy_deg: float, aspect: float, near: float, far: float):
-    tan_half = np.tan(np.float32(fovy_deg) * np.float32(0.0174532925) / 2.0)
-    m00 = 1.0 / (aspect * tan_half)
-    m11 = 1.0 / tan_half
-    m22 = -(far + near) / (far - near)
-    m23 = -(2.0 * far * near) / (far - near)
+    """Per-op f32 like the reference (rasterizer.rs:1247-1258): tanf of the
+    f32 degree product; every divide rounds f32. Static args, so this folds
+    to a constant at trace time."""
+    f = np.float32
+    tan_half = _tanf(f(fovy_deg) * f(0.0174532925) / f(2.0))
+    m00 = f(1.0) / (f(aspect) * tan_half)
+    m11 = f(1.0) / tan_half
+    m22 = -(f(far) + f(near)) / (f(far) - f(near))
+    m23 = -(f(2.0) * f(far) * f(near)) / (f(far) - f(near))
     return jnp.array(
         [[m00, 0, 0, 0], [0, m11, 0, 0], [0, 0, m22, m23], [0, 0, -1.0, 0]],
         dtype=jnp.float32,
@@ -185,21 +278,28 @@ def transform_vertices(scene: Scene, eye, w: int, h: int):
     Reference: transform_vertices, rasterizer.rs:1181-1231 — including the
     quirk of applying the viewport matrix *before* the perspective divide.
     """
-    world_to_vp = (
-        viewport_matrix(w, h)
-        @ perspective(45.0, w / h, 0.1, 10.0)
-        @ look_at(eye, jnp.zeros(3, jnp.float32), jnp.array([0.0, 1.0, 0.0]))
-    )
+    z = _seal_zero(eye)
+    world_to_vp = _world_to_vp_exact(eye, w, h, z)
     pos_h = jnp.concatenate(
         [scene.positions, jnp.ones((scene.positions.shape[0], 1), jnp.float32)], axis=1
     )
-    world_h = pos_h @ scene.ndim.T
+    world_h = _mv4_exact(scene.ndim, pos_h.T, z).T
     world = world_h[:, :3]
-    clip = world_h @ world_to_vp.T
+    clip = _mv4_exact(world_to_vp, world_h.T, z).T
     inv_w = 1.0 / clip[:, 3]
-    vp = jnp.concatenate([clip[:, :3] * inv_w[:, None], inv_w[:, None]], axis=1)
-    n_world = scene.normals @ scene.it33.T
+    vp = jnp.concatenate(
+        [_seal(clip[:, :3] * inv_w[:, None], z), inv_w[:, None]], axis=1)
+    n_world = _mv3_exact(scene.it33, scene.normals.T, z).T
     return vp, world, n_world
+
+
+def _world_to_vp_exact(eye, w: int, h: int, z):
+    """(viewport @ perspective) @ look_at with the oracle's m4_mul order."""
+    return _mm4_exact(
+        _mm4_exact(viewport_matrix(w, h),
+                   perspective(45.0, w / h, 0.1, 10.0), z),
+        look_at(eye, jnp.zeros(3, jnp.float32), jnp.array([0.0, 1.0, 0.0])),
+        z)
 
 
 def transform_corners_planar(scene: Scene, eye, w: int, h: int):
@@ -209,44 +309,43 @@ def transform_corners_planar(scene: Scene, eye, w: int, h: int):
     coordinates per corner and n/world [3, 3, T] world-space normals /
     positions. Same two-step matmul chain as transform_vertices
     (mesh -> world via ndim, world -> viewport incl. the viewport-before-
-    divide quirk, rasterizer.rs:1181-1231), contracted along a 4-axis on
-    [3, 4, T] operands.
+    divide quirk, rasterizer.rs:1181-1231) in the reference's exact
+    accumulation order on [3, 4, T] operands (see _seal above); vertex
+    outputs are bit-identical to the scalar oracle's.
     """
-    world_to_vp = (
-        viewport_matrix(w, h)
-        @ perspective(45.0, w / h, 0.1, 10.0)
-        @ look_at(eye, jnp.zeros(3, jnp.float32), jnp.array([0.0, 1.0, 0.0]))
-    )
-    world = jnp.einsum("ab,jbt->jat", scene.ndim, scene.cp3)     # [3, 4, T]
-    clip = jnp.einsum("ab,jbt->jat", world_to_vp, world)         # [3, 4, T]
+    z = _seal_zero(eye)
+    world_to_vp = _world_to_vp_exact(eye, w, h, z)
+    world = jnp.stack([_mv4_exact(scene.ndim, scene.cp3[j], z)
+                       for j in range(3)])                       # [3, 4, T]
+    clip = jnp.stack([_mv4_exact(world_to_vp, world[j], z)
+                      for j in range(3)])                        # [3, 4, T]
     iw = 1.0 / clip[:, 3]
-    xs = clip[:, 0] * iw
-    ys = clip[:, 1] * iw
-    zs = clip[:, 2] * iw
-    n = jnp.einsum("ab,jbt->jat", scene.it33, scene.cn3)         # [3, 3, T]
+    xs = _seal(clip[:, 0] * iw, z)
+    ys = _seal(clip[:, 1] * iw, z)
+    zs = _seal(clip[:, 2] * iw, z)
+    n = jnp.stack([_mv3_exact(scene.it33, scene.cn3[j], z)
+                   for j in range(3)])                           # [3, 3, T]
     return xs, ys, zs, iw, n, world[:, :3]
 
 
 def transform_corners(scene: Scene, eye, w: int, h: int):
     """De-indexed corner transform: (vp_c [3T,4], n_c [3T,3]) — no gathers.
 
-    Identical arithmetic per row as transform_vertices (same matmul on the
-    same values), so corner results are bit-equal to vp[tris[:, j]].
+    Identical arithmetic per row as transform_vertices (same fixed-order
+    contraction on the same values), so corner results are bit-equal to
+    vp[tris[:, j]].
     """
-    world_to_vp = (
-        viewport_matrix(w, h)
-        @ perspective(45.0, w / h, 0.1, 10.0)
-        @ look_at(eye, jnp.zeros(3, jnp.float32), jnp.array([0.0, 1.0, 0.0]))
-    )
+    z = _seal_zero(eye)
+    world_to_vp = _world_to_vp_exact(eye, w, h, z)
     pos_h = jnp.concatenate(
         [scene.c_pos, jnp.ones((scene.c_pos.shape[0], 1), jnp.float32)],
         axis=1)
-    world_h = pos_h @ scene.ndim.T
-    clip = world_h @ world_to_vp.T
+    world_h = _mv4_exact(scene.ndim, pos_h.T, z).T
+    clip = _mv4_exact(world_to_vp, world_h.T, z).T
     inv_w = 1.0 / clip[:, 3]
     vp_c = jnp.concatenate(
-        [clip[:, :3] * inv_w[:, None], inv_w[:, None]], axis=1)
-    n_c = scene.c_nrm @ scene.it33.T
+        [_seal(clip[:, :3] * inv_w[:, None], z), inv_w[:, None]], axis=1)
+    n_c = _mv3_exact(scene.it33, scene.c_nrm.T, z).T
     return vp_c, n_c
 
 
@@ -532,9 +631,11 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
     e1 = ich(1) * xf + ich(3) * yf + ich(5)
     e2 = ich(6) - e0 - e1
     inv_a2 = fch(6)
-    b0 = e0.astype(jnp.float32) * inv_a2 - fch(0)
-    b1 = e1.astype(jnp.float32) * inv_a2 - fch(1)
-    b2 = e2.astype(jnp.float32) * inv_a2 - fch(2)
+    # Integer de-bias then ONE f32 rounding (rasterizer.rs:1695-1697);
+    # f channels 0..2 hold the f32-encoded integer de-bias {1, 2}.
+    b0 = (e0 - fch(0).astype(jnp.int32)).astype(jnp.float32) * inv_a2
+    b1 = (e1 - fch(1).astype(jnp.int32)).astype(jnp.float32) * inv_a2
+    b2 = (e2 - fch(2).astype(jnp.int32)).astype(jnp.float32) * inv_a2
 
     lins = []
     off = _F_CH

@@ -149,6 +149,18 @@ def _check_ref(label: str, fb: np.ndarray):
         f"intentional, regenerate via tools/gen_goldens.py and review")
 
 
+def test_golden_ref_cornellbox_default_gate(reference_root):
+    """512^2 live-engine-vs-golden in the DEFAULT run (VERDICT r3 next-8).
+
+    The other ref_* anchors are slow-marked (multi-minute 512^2 renders on
+    a 1-core host), which left default runs blind to live-vs-golden drift
+    at full resolution. CornellBoxV is the cheapest-compiling bench scene,
+    so it rides in the routine gate; the full 12-scene pass stays under
+    `pytest -m ""`.
+    """
+    _check_ref("CornellBoxV", _render_bench_scene("CornellBoxV"))
+
+
 @pytest.mark.slow
 def test_golden_ref_killeroo_pixel(reference_root):
     """KillerooP: the reference's flagship bench scene (rasterizer.rs:1798).

@@ -1519,6 +1519,43 @@ int main(int argc, char** argv) {
     write_file(argv[11], fb.data(), fb.size() * 4);
     return 0;
   }
+  if (cmd == "xform" && argc == 8) {
+    // Transformed-vertex dump for ulp-level parity work on the engine's
+    // planar vertex transform: 8 f32 per vertex (vp.xyzw = viewport
+    // coords + inv_w, world.xyz, pad0) in mesh vertex order.
+    std::string root = argv[2];
+    int mesh_idx = atoi(argv[3]);
+    double tick = atof(argv[4]);
+    int w = atoi(argv[5]), h = atoi(argv[6]);
+    const MeshEntry& me = MESHES[mesh_idx];
+    Mesh mesh = load_mesh(root + "/meshes/" + me.file, me.fmt);
+    V3 eye = me.cam(tick);
+    M4 ndim = normalize_dimensions(mesh);
+    std::vector<TVertex> tv;
+    transform_vertices(mesh.vtx, tv, ndim, w, h, eye);
+    std::vector<float> out;
+    out.reserve(32 + tv.size() * 8);
+    // header: ndim then world_to_vp (row-major), for matrix-level parity
+    M4 world_to_view = look_at(eye, v3(0, 0, 0), v3(0, 1, 0));
+    M4 view_to_proj = perspective(45.0f, (float)w / (float)h, 0.1f, 10.0f);
+    float wh = (float)w / 2.0f, hh = (float)h / 2.0f;
+    M4 proj_to_vp = {{{wh, 0, 0, wh}, {0, hh, 0, hh}, {0, 0, 1, 0}, {0, 0, 0, 1}}};
+    M4 wvp = m4_mul(m4_mul(proj_to_vp, view_to_proj), world_to_view);
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) out.push_back(ndim.m[i][j]);
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) out.push_back(wvp.m[i][j]);
+    out.push_back(eye.x); out.push_back(eye.y);
+    out.push_back(eye.z); out.push_back(0.0f);
+    for (const TVertex& v : tv) {
+      out.push_back(v.vp.x); out.push_back(v.vp.y);
+      out.push_back(v.vp.z); out.push_back(v.vp.w);
+      out.push_back(v.world.x); out.push_back(v.world.y);
+      out.push_back(v.world.z); out.push_back(0.0f);
+    }
+    write_file(argv[7], out.data(), out.size() * 4);
+    return 0;
+  }
   if (cmd == "cross" && argc == 4) {
     // Unfolded cubemap cross preview buffer [cross_h=96, cross_w=128] u32
     CMSet cm = load_cm_set(std::string(argv[2]));
