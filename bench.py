@@ -159,8 +159,19 @@ def compose_summary(rec: Recorder, partial: bool = False) -> dict:
         out["nbody_bh_steps_per_s_131k"] = r["nbody_bh"]["value"]
     if "nbody_brute" in r:
         out["nbody_brute_steps_per_s_131k"] = r["nbody_brute"]["value"]
-    if "moving_killeroo" in r:
-        out["raster_moving_camera_us_KillerooP"] = r["moving_killeroo"]["value"]
+    moving = {name: r[f"moving:{name}"] for name, *_ in SCENES
+              if f"moving:{name}" in r}
+    if moving:
+        mv_total = sum(v["value"] for v in moving.values())
+        ref_total = sum(ref for name, _m, _p, ref in SCENES if name in moving)
+        out["moving_suite_total_us"] = round(mv_total)
+        out["moving_scenes_done"] = len(moving)
+        out["moving_vs_baseline"] = round(ref_total / mv_total, 3)
+        out["moving_scene_us"] = {k: round(v["value"], 1)
+                                  for k, v in moving.items()}
+        if "KillerooP" in moving:
+            out["raster_moving_camera_us_KillerooP"] = \
+                moving["KillerooP"]["value"]
     if partial:
         out["partial"] = True
     if rec.reused:
@@ -255,7 +266,18 @@ def main():
     for name, *_ in bm.SCENES:
         if name not in headline_scenes:
             steps.append((f"scene:{name}", 900, scene_step(name)))
-    steps.append(("moving_killeroo", 900, lambda: bm.bench_scene_moving()))
+    # Full moving-camera suite (VERDICT r3 next-3): per-frame in-graph
+    # queue rebuild for every scene — the honest interactive number.
+    # KillerooP first (round-2/3 continuity), then the rest.
+    def moving_step(name):
+        _, mesh_idx, per_pixel, ref_us = scene_by_name[name]
+        return lambda: bm.bench_scene_moving(mesh_idx, per_pixel,
+                                             runs=4, k=128)
+
+    moving_order = ["KillerooP"] + [n for n, *_ in bm.SCENES
+                                    if n != "KillerooP"]
+    for name in moving_order:
+        steps.append((f"moving:{name}", 900, moving_step(name)))
 
     for name, budget, fn in steps:
         if rec.done(name):

@@ -165,8 +165,17 @@ class _RawTerm:
 
 
 def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
-               start: int = 2):
-    """Main loop (App.hs:196-214): tick, events, draw, present."""
+               start: int = 2, vsync: bool = True,
+               inject_every: tuple[int, str] | None = None,
+               report: bool = False):
+    """Main loop (App.hs:196-214): tick, events, draw, present.
+
+    Headless measurement (VERDICT r3 next-5): ``report=True`` prints one
+    JSON line with the sustained loop stats (the same 60-ring the header
+    shows, first 3 frames dropped) to stderr at exit;
+    ``inject_every=(K, ch)`` feeds key ``ch`` through the real key path
+    every K frames and records keypress-to-presented-frame latency.
+    """
     from ..core.framebuffer import to_rgb8_topleft, write_png
 
     exps = _experiments()
@@ -195,10 +204,11 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
 
     sys.stdout.write("\x1b[2J")  # clear once
     esc_armed = False  # double-ESC guard against accidental exit (App.hs:53-59)
-    vsync = True       # 'v' toggles the frame-rate cap (App.hs:63: vsync key)
+    # vsync: 'v' toggles the frame-rate cap (App.hs:63: vsync key)
+    key_lat: list[float] = []  # keypress -> presented-frame latencies
     # Global FPS header over a 60-deep ring, first 3 frames dropped as
     # compile-warmup outliers (reference App.hs:135-150, 211).
-    from ..core.timing import FrameTimes
+    from ..core.timing import FrameTimes, median
 
     ftimes = FrameTimes(limit=60)
     t_prev = time.perf_counter()
@@ -207,6 +217,11 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             tick = time.perf_counter() - t0
 
             key = term.poll_key()
+            t_key = None
+            if key is None and inject_every and frame >= 3 \
+                    and frame % inject_every[0] == 0:
+                key = inject_every[1]
+                t_key = time.perf_counter()
             if key == "\x1b":
                 if esc_armed:  # second consecutive ESC exits
                     break
@@ -261,6 +276,8 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
             status = status[: size - 1]
             sys.stdout.write("\x1b[H" + fb_to_ansi(rgb) + "\n\x1b[K" + status)
             sys.stdout.flush()
+            if t_key is not None:
+                key_lat.append(time.perf_counter() - t_key)
 
             frame += 1
             budget = frame / fps - (time.perf_counter() - t0)
@@ -270,6 +287,25 @@ def run_viewer(size: int = 192, fps: float = 30.0, frames: int | None = None,
         if w_ is not None:
             w_.stop()
     sys.stdout.write("\x1b[0m\n")
+    if report:
+        import json
+
+        fps_, med, lo, hi = ftimes.stats()
+        rec = {
+            "experiment": exps[cur].name,
+            "size": size,
+            "frames": frame,
+            "vsync": vsync,
+            "fps_median": round(fps_, 2),
+            "frame_ms_median": round(med * 1e3, 3),
+            "frame_ms_best": round(lo * 1e3, 3),
+            "frame_ms_worst": round(hi * 1e3, 3),
+        }
+        if key_lat:
+            rec["key_to_frame_ms_median"] = round(median(key_lat) * 1e3, 3)
+            rec["key_to_frame_ms_worst"] = round(max(key_lat) * 1e3, 3)
+            rec["keys_injected"] = len(key_lat)
+        print(json.dumps(rec), file=sys.stderr)
     return frame
 
 
@@ -282,13 +318,27 @@ def main(argv=None):
                    help="stop after N frames (default: run until q/ESC)")
     p.add_argument("--start", type=int, default=2,
                    help="starting experiment index (0 GoL, 1 NBody, 2 Raster)")
+    p.add_argument("--no-vsync", action="store_true",
+                   help="uncapped loop (the 'v' toggle, pre-toggled)")
+    p.add_argument("--report", action="store_true",
+                   help="print one JSON line of sustained loop stats to "
+                        "stderr at exit (60-ring, first 3 frames dropped)")
+    p.add_argument("--inject-key", default=None, metavar="K:CH",
+                   help="feed key CH through the real key path every K "
+                        "frames and record keypress-to-frame latency")
     args = p.parse_args(argv)
+    inject = None
+    if args.inject_key:
+        k, _, ch = args.inject_key.partition(":")
+        inject = (max(1, int(k)), ch or " ")
 
     from ..core.platform import honor_jax_platforms_env, require_live_backend
 
     honor_jax_platforms_env()
     require_live_backend()
-    run_viewer(args.size, args.fps, args.frames, args.start)
+    run_viewer(args.size, args.fps, args.frames, args.start,
+               vsync=not args.no_vsync, inject_every=inject,
+               report=args.report)
     return 0
 
 
