@@ -258,8 +258,11 @@ def main():
     for name in headline_scenes:
         steps.append((f"scene:{name}", 900, scene_step(name)))
     steps += [
+        # k=65536 gens/dispatch: at k=16384 the ~20 ms dispatch/tunnel
+        # overhead still eats ~34% of the measurement (1.15e12 vs the
+        # sustained 1.81e12; re-verified 2026-08-18 on chip).
         ("gol_2048", 600, lambda: bm.bench_gol(n=2048,
-                                               generations_per_dispatch=16384)),
+                                               generations_per_dispatch=65536)),
         ("nbody_brute", 600, lambda: bm.bench_nbody(backend="pallas",
                                                     steps_per_dispatch=32)),
     ]

@@ -74,10 +74,15 @@ def _morton16(ix, iy):
 
 # Route power-of-two sorts through the Pallas bitonic network
 # (ops/sort_bitonic.py). Bit-identical to the argsort path
-# (tests/test_nbody.py::test_morton_sort_bitonic_parity); this switch
-# exists so the swap can be validated/benched on real hardware
-# independently of the algorithm change.
-USE_BITONIC_SORT = False
+# (tests/test_nbody.py::test_morton_sort_bitonic_parity).
+# VALIDATED ON HARDWARE (v5e, 2026-08-18, tools/validate_bitonic.py,
+# N=131,072): standalone sort+carry 16.01 -> 9.37 ms (1.71x), bit-exact.
+# Per UNFUSED dispatch the step only moves 17.29 -> 16.95 ms, but inside
+# the scan-fused production bench (app/benchmark.bench_nbody, K steps per
+# dispatch) the flip is worth 86.2 -> 124.0 steps/s (+44%): the fused
+# argsort path serializes its 5 permutation gathers against the force
+# phase, while the bitonic network's payload carry pipelines cleanly.
+USE_BITONIC_SORT = True
 
 
 def morton_sort(px, py, m, vx=None, vy=None, bits: int = 15,

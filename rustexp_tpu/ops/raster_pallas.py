@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .ieee import lerp_2mad, lerp_3w, seal, seal_zero, strict_default
 from .raster_setup import TriSetup
 from .raster_xla import GBuffer
 
@@ -137,7 +138,7 @@ def bin_triangles(
 def _tile_kernel(counts_ref, si_ref, sf_ref,
                  z_ref, tid_ref, b0_ref, b1_ref, b2_ref,
                  *, tile_h: int, tile_w: int, ntx: int, chunk_size: int,
-                 group: int = GROUP):
+                 group: int = GROUP, strict: bool = True):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tk = pl.program_id(2)
@@ -192,7 +193,11 @@ def _tile_kernel(counts_ref, si_ref, sf_ref,
         b0 = (e0 - cf(0).astype(jnp.int32)).astype(jnp.float32) * inv_a2
         b1 = (e1 - cf(1).astype(jnp.int32)).astype(jnp.float32) * inv_a2
         b2 = (e2 - cf(2).astype(jnp.int32)).astype(jnp.float32) * inv_a2
-        zi = cf(3) + cf(4) * b2 + cf(5) * b0
+        # Per-op f32 z (rasterizer.rs:1704-1708) when `strict` (interpret /
+        # CPU, where the oracle parity chain runs); the seal key follows the
+        # kernel's [G, th, 1] broadcast pattern so only lanes broadcast.
+        zz = (inv_a2 * 0.0).astype(jnp.int32) if strict else None
+        zi = lerp_2mad(cf(3), cf(4), cf(5), b2, b0, zz)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))  # [G, th, tw]
 
         # Submission-order-preserving merge: strict less-than keeps earlier.
@@ -269,7 +274,8 @@ def raster_gbuffer_pallas(
         jax.ShapeDtypeStruct((h, w), jnp.float32),
     ]
     kernel = functools.partial(_tile_kernel, tile_h=tile_h, tile_w=tile_w,
-                               ntx=ntx, chunk_size=chunk, group=group)
+                               ntx=ntx, chunk_size=chunk, group=group,
+                               strict=strict_default())
     z, slot, b0, b1, b2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -310,10 +316,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def attr_channels_2mad(iw0, iw1, iw2, a0, a1, a2):
-    """Per-triangle (q0, q10, q20) triples for 2MAD channels: a/w form."""
-    q0 = a0 * iw0[:, None]
+    """Per-triangle (q0, q10, q20) triples for 2MAD channels: a/w form.
+
+    Products sealed so (a*iw - q0) rounds per-op like the reference's
+    per-triangle c10/c20 precompute (oracle.cpp:1242-1243)."""
+    zz = seal_zero(iw0)
+    q0 = seal(a0 * iw0[:, None], zz)
     return jnp.concatenate(
-        [q0, a1 * iw1[:, None] - q0, a2 * iw2[:, None] - q0], axis=1
+        [q0, seal(a1 * iw1[:, None], zz) - q0,
+         seal(a2 * iw2[:, None], zz) - q0], axis=1
     )
 
 
@@ -326,7 +337,8 @@ def attr_channels_3w(iw0, iw1, iw2, a0, a1, a2):
 
 def _attr_tile_kernel(counts_ref, si_ref, sf_ref, *out_refs,
                       tile_h: int, tile_w: int, ntx: int, chunk_size: int,
-                      n2: int, n3: int, group: int = GROUP):
+                      n2: int, n3: int, group: int = GROUP,
+                      strict: bool = True):
     z_ref, slot_ref = out_refs[0], out_refs[1]
     lin_refs = out_refs[2:]
     ti = pl.program_id(0)
@@ -376,19 +388,22 @@ def _attr_tile_kernel(counts_ref, si_ref, sf_ref, *out_refs,
         b0 = (e0 - cf(0).astype(jnp.int32)).astype(jnp.float32) * inv_a2
         b1 = (e1 - cf(1).astype(jnp.int32)).astype(jnp.float32) * inv_a2
         b2 = (e2 - cf(2).astype(jnp.int32)).astype(jnp.float32) * inv_a2
-        zi = cf(3) + cf(4) * b2 + cf(5) * b0
+        zz = (inv_a2 * 0.0).astype(jnp.int32) if strict else None
+        zi = lerp_2mad(cf(3), cf(4), cf(5), b2, b0, zz)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
 
-        # Interpolated linear parts for every attribute channel, [G, th, tw]
+        # Interpolated linear parts for every attribute channel, [G, th, tw],
+        # per-op f32 like the reference's fragment chains
+        # (rasterizer.rs:1713-1733)
         lins = []
         off = 7
         for a in range(n2):
-            lins.append(cf(off + a) + cf(off + n2 + a) * b2
-                        + cf(off + 2 * n2 + a) * b0)
+            lins.append(lerp_2mad(cf(off + a), cf(off + n2 + a),
+                                  cf(off + 2 * n2 + a), b2, b0, zz))
         off = 7 + 3 * n2
         for a in range(n3):
-            lins.append(cf(off + a) * b1 + cf(off + n3 + a) * b2
-                        + cf(off + 2 * n3 + a) * b0)
+            lins.append(lerp_3w(cf(off + a), cf(off + n3 + a),
+                                cf(off + 2 * n3 + a), b1, b2, b0, zz))
 
         slot0 = tk * chunk_size + base
         for g in range(group):
@@ -468,7 +483,7 @@ def raster_attrs_pallas(
     )
     kernel = functools.partial(
         _attr_tile_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx,
-        chunk_size=chunk, n2=n2, n3=n3, group=group,
+        chunk_size=chunk, n2=n2, n3=n3, group=group, strict=strict_default(),
     )
     outs = pl.pallas_call(
         kernel,

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .ieee import lerp_2mad, lerp_3w, strict_default
 from .raster_setup import TriSetup
 
 TILE_H = 16
@@ -60,10 +61,13 @@ ROW_MARGIN = 2  # rows of camera-drift headroom baked into Queue.rows/ylim.
 # the Pallas bitonic network (ops/sort_bitonic.py) instead of XLA's sort.
 # Key-only: the network's carried index makes it stable, and build_queue
 # only consumes the sorted keys. Bit-identical to jnp.sort by
-# construction (tests/test_raster.py::test_queue_build_bitonic_parity);
-# OFF pending on-hardware validation of the sorter (same gate story as
-# nbody_bh.USE_BITONIC_SORT — flip only after tools/validate_bitonic.py
-# confirms parity + speedup on a real chip).
+# construction (tests/test_raster.py::test_queue_build_bitonic_parity).
+# MEASURED DEAD END on hardware (v5e, 2026-08-18): moving-camera
+# KillerooP (full per-frame in-graph rebuild) 2,648 -> 3,882 us/frame
+# with the network on. Key-ONLY sorts of ~32k pairs are where XLA's
+# sort is already strong; the bitonic win in nbody_bh comes from
+# carrying 5 payload columns through the network instead of paying 5
+# permutation gathers — the queue build has no payloads. Keep OFF.
 USE_BITONIC_SORT = False
 
 
@@ -339,7 +343,7 @@ def gather_rows(queue: Queue, tabT, return_flat: bool = False):
 
 def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
                   chunk: int, n2: int, n3: int, interleave: int,
-                  tile_h: int, tile_w: int):
+                  tile_h: int, tile_w: int, strict: bool = True):
     """One chunk per grid step; per-pair constants are SMEM scalars."""
     z_ref, slot_ref = out_refs[0], out_refs[1]
     lin_refs = out_refs[2:]
@@ -391,21 +395,27 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
             jnp.float32) * inv_a2
         b2 = (e2 - rows_f_ref[0, 2, p].astype(jnp.int32)).astype(
             jnp.float32) * inv_a2
-        zi = (rows_f_ref[0, 3, p] + rows_f_ref[0, 4, p] * b2
-              + rows_f_ref[0, 5, p] * b0)
+        # Per-op f32 interpolation (rasterizer.rs:1704-1733) when `strict`
+        # (interpret/CPU, where the oracle parity chain runs); the seal key
+        # is a scalar, which broadcasts like the other SMEM constants.
+        zz = (inv_a2 * 0.0).astype(jnp.int32) if strict else None
+        zi = lerp_2mad(rows_f_ref[0, 3, p], rows_f_ref[0, 4, p],
+                       rows_f_ref[0, 5, p], b2, b0, zz)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
 
         lins = []
         off = _F_CH
         for a in range(n2):
-            lins.append(rows_f_ref[0, off + a, p]
-                        + rows_f_ref[0, off + n2 + a, p] * b2
-                        + rows_f_ref[0, off + 2 * n2 + a, p] * b0)
+            lins.append(lerp_2mad(rows_f_ref[0, off + a, p],
+                                  rows_f_ref[0, off + n2 + a, p],
+                                  rows_f_ref[0, off + 2 * n2 + a, p],
+                                  b2, b0, zz))
         off = _F_CH + 3 * n2
         for a in range(n3):
-            lins.append(rows_f_ref[0, off + a, p] * b1
-                        + rows_f_ref[0, off + n3 + a, p] * b2
-                        + rows_f_ref[0, off + 2 * n3 + a, p] * b0)
+            lins.append(lerp_3w(rows_f_ref[0, off + a, p],
+                                rows_f_ref[0, off + n3 + a, p],
+                                rows_f_ref[0, off + 2 * n3 + a, p],
+                                b1, b2, b0, zz))
 
         upd = zm < z_ref[:]
         z_ref[:] = jnp.where(upd, zm, z_ref[:])
@@ -425,7 +435,7 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
 
 def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
                         *, chunk: int, interleave: int, tile_h: int,
-                        tile_w: int):
+                        tile_w: int, strict: bool = True):
     """Defer-lin variant: per pair, only the depth race runs in-kernel.
 
     Attribute planes are NOT interpolated here — the winning pair's slot id
@@ -474,8 +484,9 @@ def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
             jnp.float32) * inv_a2
         b2 = (e2 - rows_f_ref[0, 2, p].astype(jnp.int32)).astype(
             jnp.float32) * inv_a2
-        zi = (rows_f_ref[0, 3, p] + rows_f_ref[0, 4, p] * b2
-              + rows_f_ref[0, 5, p] * b0)
+        zz = (inv_a2 * 0.0).astype(jnp.int32) if strict else None
+        zi = lerp_2mad(rows_f_ref[0, 3, p], rows_f_ref[0, 4, p],
+                       rows_f_ref[0, 5, p], b2, b0, zz)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
 
         upd = zm < z_ref[:]
@@ -537,7 +548,7 @@ def raster_zslot_queue(
                  jax.ShapeDtypeStruct((hp, w), jnp.int32)]
     kernel = functools.partial(
         _queue_kernel_zslot, chunk=chunk, interleave=interleave,
-        tile_h=tile_h, tile_w=tile_w)
+        tile_h=tile_h, tile_w=tile_w, strict=strict_default())
 
     def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, z_ref, s_ref):
         del slot_init_ref
@@ -610,7 +621,7 @@ def raster_attrs_queue(
     )
     kernel = functools.partial(
         _queue_kernel, chunk=chunk, n2=n2, n3=n3, interleave=interleave,
-        tile_h=tile_h, tile_w=tile_w)
+        tile_h=tile_h, tile_w=tile_w, strict=strict_default())
 
     def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, *outs):
         del slot_init_ref

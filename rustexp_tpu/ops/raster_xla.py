@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .ieee import lerp_2mad, seal_zero
 from .raster_setup import TriSetup
 
 
@@ -33,6 +34,7 @@ class GBuffer(NamedTuple):
 
 def raster_gbuffer_xla(setup: TriSetup, h: int, w: int) -> GBuffer:
     T = setup.A.shape[0]
+    zz = seal_zero(setup.inv_a2)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xf = xs << 4
@@ -57,7 +59,8 @@ def raster_gbuffer_xla(setup: TriSetup, h: int, w: int) -> GBuffer:
             * setup.inv_a2[i]
         b2 = (e2 - setup.bias[i, 2].astype(jnp.int32)).astype(jnp.float32) \
             * setup.inv_a2[i]
-        zi = setup.z0[i] + setup.z10[i] * b2 + setup.z20[i] * b0
+        # Per-op f32 like the reference's z chain (rasterizer.rs:1704-1708)
+        zi = lerp_2mad(setup.z0[i], setup.z10[i], setup.z20[i], b2, b0, zz)
         upd = setup.valid[i] & inside & in_box & (zi < z)
         z = jnp.where(upd, zi, z)
         tid = jnp.where(upd, i, tid)

@@ -130,17 +130,12 @@ def make_scene(mesh, cm_set) -> Scene:
 # einsums is the same VPU work on TPU (the contraction axis is only 4).
 
 
-def _seal_zero(v):
-    """An int32 0 derived from a traced value — opaque to constant folding."""
-    return (v.reshape(-1)[0] * 0.0).astype(jnp.int32)
-
-
-def _seal(x, z):
-    """Round x to its stored f32 value: blocks FMA contraction of x into a
-    following add by routing the bits through integer ops (identity at
-    runtime, since z is always 0)."""
-    return lax.bitcast_convert_type(
-        lax.bitcast_convert_type(x, jnp.int32) ^ z, jnp.float32)
+from ..ops.ieee import (  # noqa: E402  (placed with its explanatory comment)
+    lerp_2mad as _lerp_2mad,
+    lerp_3w as _lerp_3w,
+    seal as _seal,
+    seal_zero as _seal_zero,
+)
 
 
 def _dot3_exact(a, b, z):
@@ -383,22 +378,31 @@ def shade_gbuffer(
     b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
 
     vp_w = vp[:, 3]
+    z = _seal_zero(vp)
     inv_w0, inv_w1, inv_w2 = vp_w[i0], vp_w[i1], vp_w[i2]
-    w_raster = 1.0 / (inv_w0 + (inv_w1 - inv_w0) * b2 + (inv_w2 - inv_w0) * b0)
+    w_raster = 1.0 / _lerp_2mad(inv_w0, inv_w1 - inv_w0, inv_w2 - inv_w0,
+                                b2, b0, z)
 
     def persp_lerp_2mad(a0, a1, a2):
-        """v0 + (v1-v0)*b2 + (v2-v0)*b0 form, pre-divided by w (colors)."""
-        base = a0 * inv_w0[..., None]
-        d10 = a1 * inv_w1[..., None] - base
-        d20 = a2 * inv_w2[..., None] - base
-        return (base + d10 * b2[..., None] + d20 * b0[..., None]) * w_raster[..., None]
+        """v0 + (v1-v0)*b2 + (v2-v0)*b0 form, pre-divided by w (colors).
+
+        Per-op f32 like the reference's per-fragment chain
+        (rasterizer.rs:1713-1719 / oracle.cpp c_raster): every product is
+        sealed so LLVM cannot contract it into the following add."""
+        base = _seal(a0 * inv_w0[..., None], z)
+        d10 = _seal(a1 * inv_w1[..., None], z) - base
+        d20 = _seal(a2 * inv_w2[..., None], z) - base
+        return _lerp_2mad(base, d10, d20, b2[..., None], b0[..., None], z) \
+            * w_raster[..., None]
 
     def persp_lerp_3w(a0, a1, a2):
-        """b1/b2/b0-weighted form (world pos / normals, rasterizer.rs:1725-1733)."""
-        return (
-            a0 * (inv_w0 * b1)[..., None]
-            + a1 * (inv_w1 * b2)[..., None]
-            + a2 * (inv_w2 * b0)[..., None]
+        """b1/b2/b0-weighted form (world pos / normals,
+        rasterizer.rs:1725-1733): (a_j*iw_j)*b — each product rounded, the
+        reference's left-to-right order."""
+        return _lerp_3w(
+            _seal(a0 * inv_w0[..., None], z), _seal(a1 * inv_w1[..., None], z),
+            _seal(a2 * inv_w2[..., None], z),
+            b1[..., None], b2[..., None], b0[..., None], z,
         ) * w_raster[..., None]
 
     c = persp_lerp_2mad(colors[i0], colors[i1], colors[i2])
@@ -543,10 +547,13 @@ def raster_and_shade_queue(
     def base_d(j):
         return [one, crows[j][0], crows[j][1], crows[j][2]]
 
-    # attr_channels_2mad in planar form: (base, d10, d20) per channel
-    base = [q * iw[0] for q in base_d(0)]
-    d10 = [q * iw[1] - b for q, b in zip(base_d(1), base)]
-    d20 = [q * iw[2] - b for q, b in zip(base_d(2), base)]
+    # attr_channels_2mad in planar form: (base, d10, d20) per channel.
+    # Every product is sealed so the (q*iw - base) chain rounds per-op like
+    # the reference's per-triangle c10/c20 precompute (oracle.cpp:1242-1243).
+    zs_ = _seal_zero(iw)
+    base = [_seal(q * iw[0], zs_) for q in base_d(0)]
+    d10 = [_seal(q * iw[1], zs_) - b for q, b in zip(base_d(1), base)]
+    d20 = [_seal(q * iw[2], zs_) - b for q, b in zip(base_d(2), base)]
     extra = base + d10 + d20
     n2, n3 = 4, 0
     if per_pixel:
@@ -558,8 +565,9 @@ def raster_and_shade_queue(
                     + [n_c[j, k] for k in range(3)] for j in range(3)]
             n3 = 6
         # attr_channels_3w planar: (q*iw0, q*iw1, q*iw2) triples
-        extra = extra + [q * iw[0] for q in cat3[0]] \
-            + [q * iw[1] for q in cat3[1]] + [q * iw[2] for q in cat3[2]]
+        extra = extra + [_seal(q * iw[0], zs_) for q in cat3[0]] \
+            + [_seal(q * iw[1], zs_) for q in cat3[1]] \
+            + [_seal(q * iw[2], zs_) for q in cat3[2]]
 
     if defer:
         z, slot, rows_flat, stale = raster_zslot_queue(
@@ -638,14 +646,15 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
     b2 = (e2 - fch(2).astype(jnp.int32)).astype(jnp.float32) * inv_a2
 
     lins = []
+    zz = _seal_zero(inv_a2)
     off = _F_CH
     for a in range(n2):
-        lins.append(fch(off + a) + fch(off + n2 + a) * b2
-                    + fch(off + 2 * n2 + a) * b0)
+        lins.append(_lerp_2mad(fch(off + a), fch(off + n2 + a),
+                               fch(off + 2 * n2 + a), b2, b0, zz))
     off = _F_CH + 3 * n2
     for a in range(n3):
-        lins.append(fch(off + a) * b1 + fch(off + n3 + a) * b2
-                    + fch(off + 2 * n3 + a) * b0)
+        lins.append(_lerp_3w(fch(off + a), fch(off + n3 + a),
+                             fch(off + 2 * n3 + a), b1, b2, b0, zz))
 
     wrc = 1.0 / lins[0]
     cc = jnp.stack([p_ * wrc for p_ in lins[1:4]], axis=-1)

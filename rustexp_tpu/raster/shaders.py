@@ -22,30 +22,40 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.colors import fast_unit_pow16_arith as fast_unit_pow16
+from ..ops.ieee import seal as _seal, seal_zero as _seal_zero
 
 # Power-index map into the [5, ...] cubemap array
 COS_0, COS_1, COS_8, COS_64, COS_512 = range(5)
 CM_FACE_WDH = 64
 
+# Strict-IEEE note (ops/ieee.py): every product feeding an add/sub below is
+# sealed so LLVM cannot contract it into an FMA — the reference's shader
+# chains are scalar f32 with one rounding per op (rasterizer.rs:816-1164;
+# the parity oracle spells out each op order). Lone products and divisions
+# round on their own and need no seal.
+
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=-1, keepdims=True)
+    """x*x + y*y + z*z, left-to-right per-op f32 (oracle dot)."""
+    z = _seal_zero(a)
+    return (_seal(a[..., 0:1] * b[..., 0:1], z)
+            + _seal(a[..., 1:2] * b[..., 1:2], z)) \
+        + _seal(a[..., 2:3] * b[..., 2:3], z)
 
 
 def normalize(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    """nalgebra normalize: v / sqrt(dot) — DIVISION form (oracle.cpp:57-60)."""
+    return v / jnp.sqrt(_dot(v, v))
 
 
 def fast_normalize(v):
-    """Reciprocal-sqrt normalize (rasterizer.rs:55-59)."""
-    import jax
-
-    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    """Reciprocal-MULTIPLY normalize (rasterizer.rs:55-59): v * (1/sqrt)."""
+    return v * (1.0 / jnp.sqrt(_dot(v, v)))
 
 
 def reflect(i, n):
     """GLSL-style reflection (rasterizer.rs:61-63)."""
-    return i - n * (_dot(n, i) * 2.0)
+    return i - _seal(n * (_dot(n, i) * 2.0), _seal_zero(i))
 
 
 def normalize_phong_lobe(power: float) -> float:
@@ -70,8 +80,12 @@ def cm_texel_from_dir(d):
     ).astype(jnp.int32)
     major = jnp.where(x_major, ax, jnp.where(y_major, ay, az))
     inv = 1.0 / jnp.maximum(major, 1e-30)
-    u = jnp.where(x_major, dz, dx) * inv
-    v = jnp.where(x_major, dy, jnp.where(y_major, dz, dy)) * inv
+    # Seal the u/v products: LLVM would contract them into the +1.0 below
+    # (fma), while the reference rounds u = dir.c * inv first
+    # (rasterizer.rs:685-713 / oracle.cpp:903-926).
+    z = _seal_zero(d)
+    u = _seal(jnp.where(x_major, dz, dx) * inv, z)
+    v = _seal(jnp.where(x_major, dy, jnp.where(y_major, dz, dy)) * inv, z)
 
     u = (u + 1.0) * 0.5
     v = (v + 1.0) * 0.5
@@ -123,12 +137,13 @@ def lookup_texel_powers(cm, powers: tuple, texel):
 
 def fresnel_conductor(cosi, eta: float, k: float):
     """PBRT 1st-edition conductor Fresnel (rasterizer.rs:1033-1056)."""
-    tmp = (eta * eta + k * k) * cosi * cosi
-    r_par2 = (tmp - 2.0 * eta * cosi + 1.0) / (tmp + 2.0 * eta * cosi + 1.0)
+    z = _seal_zero(cosi)
+    tmp = _seal((eta * eta + k * k) * cosi * cosi, z)
+    x = _seal(2.0 * eta * cosi, z)
+    r_par2 = (tmp - x + 1.0) / (tmp + x + 1.0)
     tmp_f = eta * eta + k * k
-    r_per2 = (tmp_f - 2.0 * eta * cosi + cosi * cosi) / (
-        tmp_f + 2.0 * eta * cosi + cosi * cosi
-    )
+    cc = _seal(cosi * cosi, z)
+    r_per2 = (tmp_f - x + cc) / (tmp_f + x + cc)
     return (r_par2 + r_per2) * 0.5
 
 
@@ -153,6 +168,7 @@ def shader_headlight(p, n, col, eye, tick, cm):
 
 
 def shader_dir_light(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     eyev = p - eye
     r = fast_normalize(reflect(eyev, nn))
@@ -161,12 +177,12 @@ def shader_dir_light(p, n, col, eye, tick, cm):
     def one_light(lv):
         ldotn = jnp.clip(_dot(lv, nn), 0.0, 1.0)
         ldotr = fast_unit_pow16(jnp.clip(_dot(lv, r), 0.0, 1.0))
-        return ldotn * 0.25 + ldotr * 0.75
+        return _seal(ldotn * 0.25, z) + _seal(ldotr * 0.75, z)
 
     light = (
-        jnp.array([1.0, 0.5, 0.5]) * one_light(l)
-        + jnp.array([0.5, 0.5, 1.0]) * one_light(-l)
-        + jnp.array([0.05, 0.05, 0.05])
+        _seal(jnp.array([1.0, 0.5, 0.5]) * one_light(l), z)
+        + _seal(jnp.array([0.5, 0.5, 1.0]) * one_light(-l), z)
+        + jnp.array([0.05, 0.05, 0.05], dtype=jnp.float32)
     )
     return light * (col * col)
 
@@ -177,26 +193,28 @@ def shader_cm_diffuse(p, n, col, eye, tick, cm):
 
 
 def shader_cm_refl(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
     c8, c64 = lookup_texel_powers(cm, (COS_8, COS_64), r_tex)
     return (
         lookup_dir_cm(cm, COS_1, nn)
-        + c8 * normalize_phong_lobe(8.0)
-        + c64 * normalize_phong_lobe(64.0)
+        + _seal(c8 * normalize_phong_lobe(8.0), z)
+        + _seal(c64 * normalize_phong_lobe(64.0), z)
     ) * (col * col)
 
 
 def shader_cm_coated(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     eyev = p - eye
     r_tex = cm_texel_from_dir(reflect(eyev, nn))
     fres = fresnel_conductor(_dot(-eyev, nn), 1.0, 1.1)
     c8, c512 = lookup_texel_powers(cm, (COS_8, COS_512), r_tex)
     return (
-        lookup_dir_cm(cm, COS_1, nn) * 0.85
-        + c8 * normalize_phong_lobe(8.0) * fres
-        + c512 * normalize_phong_lobe(512.0) * fres * 1.5
+        _seal(lookup_dir_cm(cm, COS_1, nn) * 0.85, z)
+        + _seal(c8 * normalize_phong_lobe(8.0) * fres, z)
+        + _seal(c512 * normalize_phong_lobe(512.0) * fres * 1.5, z)
     ) * (col * col)
 
 
@@ -204,7 +222,8 @@ def shader_cm_diff_rim(p, n, col, eye, tick, cm):
     nn = fast_normalize(n)
     eyev = p - eye
     fres = fresnel_conductor(_dot(-eyev, nn), 1.0, 1.1)
-    return (lookup_dir_cm(cm, COS_1, nn) + fres * 0.75) * col
+    return (lookup_dir_cm(cm, COS_1, nn)
+            + _seal(fres * 0.75, _seal_zero(p))) * col
 
 
 def shader_cm_glossy(p, n, col, eye, tick, cm):
@@ -212,7 +231,8 @@ def shader_cm_glossy(p, n, col, eye, tick, cm):
     r = reflect(p - eye, nn)
     return (
         lookup_dir_cm(cm, COS_1, nn)
-        + lookup_dir_cm(cm, COS_8, r) * normalize_phong_lobe(8.0)
+        + _seal(lookup_dir_cm(cm, COS_8, r) * normalize_phong_lobe(8.0),
+                _seal_zero(p))
     ) * (col * col)
 
 
@@ -221,35 +241,41 @@ def shader_cm_green_highlight(p, n, col, eye, tick, cm):
     r = reflect(p - eye, nn)
     return (
         lookup_dir_cm(cm, COS_1, nn)
-        + lookup_dir_cm(cm, COS_64, r)
-        * normalize_phong_lobe(64.0)
-        * jnp.array([0.2, 0.8, 0.2])
+        + _seal(lookup_dir_cm(cm, COS_64, r)
+                * normalize_phong_lobe(64.0)
+                * jnp.array([0.2, 0.8, 0.2], dtype=jnp.float32),
+                _seal_zero(p))
     ) * (col * col)
 
 
 def shader_cm_red_material(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     r = reflect(p - eye, nn)
     return (
-        lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.8, 0.2, 0.2])
-        + lookup_dir_cm(cm, COS_512, r) * normalize_phong_lobe(512.0)
+        _seal(lookup_dir_cm(cm, COS_1, nn)
+              * jnp.array([0.8, 0.2, 0.2], dtype=jnp.float32), z)
+        + _seal(lookup_dir_cm(cm, COS_512, r)
+                * normalize_phong_lobe(512.0), z)
     ) * (col * col)
 
 
 def shader_cm_metallic(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
     c8, c64 = lookup_texel_powers(cm, (COS_8, COS_64), r_tex)
-    return (c8 * normalize_phong_lobe(8.0)
-            + c64 * normalize_phong_lobe(64.0)) * col
+    return (_seal(c8 * normalize_phong_lobe(8.0), z)
+            + _seal(c64 * normalize_phong_lobe(64.0), z)) * col
 
 
 def shader_cm_super_shiny(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
     c64, c512, c0 = lookup_texel_powers(cm, (COS_64, COS_512, COS_0), r_tex)
-    return (c64 * normalize_phong_lobe(64.0)
-            + c512 * normalize_phong_lobe(512.0) + c0) * col
+    return (_seal(c64 * normalize_phong_lobe(64.0), z)
+            + _seal(c512 * normalize_phong_lobe(512.0), z) + c0) * col
 
 
 def shader_cm_gold(p, n, col, eye, tick, cm):
@@ -257,12 +283,13 @@ def shader_cm_gold(p, n, col, eye, tick, cm):
     l = fast_normalize(eye - p)
     ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
-    albedo = jnp.array([1.0, 0.76, 0.33])
+    z = _seal_zero(p)
+    albedo = jnp.array([1.0, 0.76, 0.33], dtype=jnp.float32)
     c8, c512 = lookup_texel_powers(cm, (COS_8, COS_512), r_tex)
     return (
-        lookup_dir_cm(cm, COS_1, nn) * ldotn
-        + c8 * normalize_phong_lobe(8.0)
-        + c512 * normalize_phong_lobe(512.0) * (1.0 - ldotn)
+        _seal(lookup_dir_cm(cm, COS_1, nn) * ldotn, z)
+        + _seal(c8 * normalize_phong_lobe(8.0), z)
+        + _seal(c512 * normalize_phong_lobe(512.0) * (1.0 - ldotn), z)
     ) * albedo * (col * col)
 
 
@@ -270,25 +297,34 @@ def shader_cm_blue(p, n, col, eye, tick, cm):
     nn = fast_normalize(n)
     l = fast_normalize(eye - p)
     ldotn = jnp.clip(_dot(l, nn), 0.0, 1.0)
+    z = _seal_zero(p)
     r_tex = cm_texel_from_dir(reflect(p - eye, nn))
     c64, c512 = lookup_texel_powers(cm, (COS_64, COS_512), r_tex)
     return (
-        lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.2, 0.2, 0.8]) * ldotn
-        + c64 * normalize_phong_lobe(64.0) * 0.75
-        + c512 * normalize_phong_lobe(512.0) * (1.0 - ldotn)
+        _seal(lookup_dir_cm(cm, COS_1, nn)
+              * jnp.array([0.2, 0.2, 0.8], dtype=jnp.float32) * ldotn, z)
+        + _seal(c64 * normalize_phong_lobe(64.0) * 0.75, z)
+        + _seal(c512 * normalize_phong_lobe(512.0) * (1.0 - ldotn), z)
     ) * (col * col)
 
 
 def shader_cm_blinn_schlick(p, n, col, eye, tick, cm):
+    z = _seal_zero(p)
     nn = fast_normalize(n)
     eyev = p - eye
     r = reflect(eyev, nn)
-    h = normalize(nn + r)
+    # Reference quirk: h = (n+r) * (1/|n+r|) — reciprocal-MULTIPLY form,
+    # and the Schlick weight uses the UNNORMALIZED eye vector
+    # (rasterizer.rs:1023-1025).
+    nr = nn + r
+    h = nr * (1.0 / jnp.sqrt(_dot(nr, nr)))
     w = 1.0 - jnp.clip(_dot(h, eyev), 0.0, 1.0)
     w = w * w
     return (
-        lookup_dir_cm(cm, COS_1, nn) * jnp.array([0.8, 0.65, 1.0]) * w
-        + lookup_dir_cm(cm, COS_64, h) * normalize_phong_lobe(64.0) * (1.25 - w)
+        _seal(lookup_dir_cm(cm, COS_1, nn)
+              * jnp.array([0.8, 0.65, 1.0], dtype=jnp.float32) * w, z)
+        + _seal(lookup_dir_cm(cm, COS_64, h)
+                * normalize_phong_lobe(64.0) * (1.25 - w), z)
     ) * (col * col)
 
 

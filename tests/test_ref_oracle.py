@@ -301,14 +301,17 @@ def _oracle_frame(oracle_bin, reference_root, tmp_path, mesh_idx, shader,
 
 @pytest.mark.parametrize("shader", range(16))
 def test_oracle_all_shaders(oracle_bin, reference_root, tmp_path, shader):
-    """All 16 shaders x {V, P} on the cube, env 1, bg 1. Measured r3: 26 of
-    32 configs bit-exact, the rest differ on ONE shared-edge tie pixel."""
+    """All 16 shaders x {V, P} on the cube, env 1, bg 1: BIT-EXACT.
+
+    Round 4: 32/32 configs at 0 differing pixels after the per-op seal pass
+    (ops/ieee.py) over attribute interpolation, the shader combine chains,
+    and the cubemap u/v products (r3 was 26/32 with 1-px ulp ties)."""
     for ppx in (0, 1):
         orc = _oracle_frame(oracle_bin, reference_root, tmp_path,
                             9, shader, 1, 1, ppx, 0.7)
         eng = _engine_frame(9, shader, 1, 1, ppx, 0.7)
         diff = int((orc != eng).sum())
-        assert diff <= 2, f"shader {shader} pp={ppx}: {diff} px"
+        assert diff == 0, f"shader {shader} pp={ppx}: {diff} px"
 
 
 def test_oracle_point_and_line_modes(oracle_bin, reference_root, tmp_path):
