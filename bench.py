@@ -281,6 +281,12 @@ def main():
                                     if n != "KillerooP"]
     for name in moving_order:
         steps.append((f"moving:{name}", 900, moving_step(name)))
+    # NOT in the suite: bench_scene_moving_amortized (temporal-coherence
+    # structure reuse, bit-exact per frame). Measured r4 verdict: wins
+    # only on large-triangle scenes (CubeP 1842 -> 1623 us) and loses
+    # badly where triangles are small (KillerooP 2659 -> 8570 — dilation
+    # multiplies the pair count); per-frame in-graph rebuild remains the
+    # production moving path. See BASELINE.md round-4 notes.
 
     for name, budget, fn in steps:
         if rec.done(name):

@@ -164,6 +164,45 @@ def setup_triangles_planar(xs, ys, zs, w: int, h: int,
     )
 
 
+def dilate_setup_planar(s: TriSetupP, d: int, w: int, h: int,
+                        area_margin: int = 0) -> TriSetupP:
+    """Temporal-coherence superset setup for the amortized moving path.
+
+    Returns a STRUCTURE-build setup whose coverage is a superset of any
+    frame whose camera motion (vs this one) displaces vertices by <= d px
+    and changes no triangle's signed 2*area by more than `area_margin`:
+
+      * every near-front triangle's pixel AABB expands by `d` px;
+      * `valid` widens from strict front-facing to 2*area > -area_margin,
+        so silhouette triangles that flip front-facing mid-chunk are
+        already binned (a still-backfacing pair self-excludes in the
+        kernel: e0+e1+e2 = 2*area < 0 means the sign-OR inside test can
+        never pass, and its z lane stays +inf).
+
+    The per-frame kernel always evaluates the TRUE per-frame edge
+    functions/AABBs, so rendering through this structure is bit-identical
+    to a freshly built queue; `check_queue_valid` certifies the superset
+    property at runtime (stale fires loudly if the margins were exceeded).
+    Only binning extents and `valid` change — edge equations, z planes
+    and the fill convention are untouched.
+    """
+    # signed 2*area from the stored planar channels: the biased constants
+    # satisfy C0+C1+C2 = 2*area + (bias0+bias1+bias2) exactly (integer).
+    area2 = (s.C0 + s.C1 + s.C2
+             - s.bias0.astype(jnp.int32) - s.bias1.astype(jnp.int32)
+             - s.bias2.astype(jnp.int32))
+    near_front = area2 > -jnp.int32(area_margin)
+    d = jnp.int32(d)
+    min_x = jnp.where(near_front, jnp.maximum(s.min_x - d, 0), s.min_x)
+    min_y = jnp.where(near_front, jnp.maximum(s.min_y - d, 0), s.min_y)
+    max_x = jnp.where(near_front, jnp.minimum(s.max_x + d, w), s.max_x)
+    max_y = jnp.where(near_front, jnp.minimum(s.max_y + d, h), s.max_y)
+    return s._replace(
+        min_x=min_x, min_y=min_y, max_x=max_x, max_y=max_y,
+        valid=near_front & (max_x > min_x) & (max_y > min_y),
+    )
+
+
 def setup_triangles(vp: jnp.ndarray, tris: jnp.ndarray, w: int, h: int,
                     y_shift=0) -> TriSetup:
     """vp: f32 [V, 4] viewport-space vertices (x, y, z, 1/w); tris: i32 [T, 3]."""

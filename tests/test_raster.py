@@ -336,6 +336,52 @@ class TestQueue:
             return_overflow=True)
         assert bool(stale)
 
+    def test_moving_amortized_bit_exact(self):
+        """Amortized moving-camera structure (dilated AABBs + area margin,
+        rebuilt every K frames) renders every frame bit-identically to a
+        per-frame rebuild, and the superset certificate (stale flag) holds
+        across each chunk."""
+        from rustexp_tpu.ops.raster_queue import (build_queue,
+                                                  suggest_queue_config,
+                                                  queue_stats)
+        from rustexp_tpu.ops.raster_setup import (dilate_setup_planar,
+                                                  setup_triangles_planar)
+
+        scene = pp.make_scene(mesh.make_sphere(10, 20),
+                              cubemap.make_procedural_set())
+        K, n = 4, 8
+        ticks = [0.9 + i / 60.0 for i in range(n)]
+        eyes = [jnp.asarray(camera.cam_orbit(t)) for t in ticks]
+
+        def planar(e):
+            xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, e, W, H)
+            return setup_triangles_planar(xs, ys, zs, W, H)
+
+        # generous fixed margins for the test (runtime cert still checks)
+        dil = dilate_setup_planar(planar(eyes[0]), 24, W, H, 4096)
+        caps = suggest_queue_config(
+            tuple(int(x) for x in queue_stats(dil.to_trisetup(), H, W)))
+        s_cap, m_y, m_x, t_cap = caps
+
+        for c0 in range(0, n, K):
+            dil = dilate_setup_planar(planar(eyes[c0]), 24, W, H, 4096)
+            q = build_queue(dil, H, W, s_cap=s_cap, m_y=m_y, m_x=m_x,
+                            t_cap=t_cap)
+            for i in range(c0, c0 + K):
+                kw = dict(w=W, h=H, shader_idx=5, show_cm=False,
+                          per_pixel=True, return_overflow=True)
+                fb_am, stale = pp.render_frame(
+                    scene, eyes[i], ticks[i], backend="queue",
+                    raster_queue=q, **kw)
+                assert not bool(stale), f"stale fired at frame {i}"
+                q_fresh = pp.build_scene_queue(scene, eyes[i], W, H)
+                fb_fresh, st2 = pp.render_frame(
+                    scene, eyes[i], ticks[i], backend="queue",
+                    raster_queue=q_fresh, **kw)
+                assert not bool(st2)
+                assert np.array_equal(np.asarray(fb_am),
+                                      np.asarray(fb_fresh)), f"frame {i}"
+
     def test_corner_transform_matches_indexed(self):
         scene = pp.make_scene(mesh.make_sphere(8, 16),
                               cubemap.make_procedural_set())
