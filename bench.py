@@ -50,23 +50,53 @@ def _git_sha() -> str:
         return "unknown"
 
 
+def _engine_hash() -> str:
+    """Content hash of everything a bench number depends on.
+
+    Keying reuse on the git sha voided a completed capture whenever a
+    DOCS-ONLY commit landed after it — and a tunnel flap at the re-run
+    then erased real measurements (round 3's failure mode). Hash the
+    engine package + this harness instead: results are keyed to the code
+    that produced them, and prose commits cannot invalidate them.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    files = sorted((ROOT / "rustexp_tpu").rglob("*"))
+    for p in files + [ROOT / "bench.py"]:
+        if p.is_file() and "__pycache__" not in p.parts:
+            h.update(str(p.relative_to(ROOT)).encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()[:12]
+
+
 class Recorder:
     """Append-only metric store surviving a mid-run tunnel death."""
 
     def __init__(self):
-        self.sha = _git_sha()
+        self.sha = _engine_hash()
+        self.git_sha = _git_sha()
         self.results: dict[str, dict] = {}
         self.reused: list[str] = []
+        # Newest-first fallback from DIFFERENT engine versions: only ever
+        # surfaced when the backend is unreachable, explicitly marked.
+        self.fallback: dict[str, dict] = {}
+        self.fallback_keys: set[str] = set()
         if PARTIAL.exists():
             for line in PARTIAL.read_text().splitlines():
                 try:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("sha") == self.sha and rec.get("name"):
+                if not rec.get("name"):
+                    continue
+                if rec.get("sha") == self.sha:
                     if rec["name"] not in self.results:
                         self.reused.append(rec["name"])
                     self.results[rec["name"]] = rec["payload"]
+                else:
+                    self.fallback[rec["name"]] = rec["payload"]
+                    self.fallback_keys.add(str(rec.get("sha")))
 
     def done(self, name: str) -> bool:
         return name in self.results
@@ -177,7 +207,8 @@ def compose_summary(rec: Recorder, partial: bool = False) -> dict:
     if rec.reused:
         out["stale"] = True
         out["reused_from_partial"] = sorted(rec.reused)
-    out["sha"] = rec.sha
+    out["sha"] = rec.git_sha
+    out["engine_hash"] = rec.sha
     return out
 
 
@@ -226,6 +257,20 @@ def main():
         time.sleep(60)
         backend = probe_backend(timeout_s=150)
     if backend is None:
+        if not rec.results and rec.fallback:
+            # Dead tunnel, nothing measured for THIS engine version:
+            # surface the newest prior capture instead of silence,
+            # loudly marked as from a different engine hash.
+            print("# backend dead; emitting newest prior capture "
+                  f"(engine hash(es) {sorted(rec.fallback_keys)}, "
+                  f"current {rec.sha})", file=sys.stderr, flush=True)
+            rec.results.update(rec.fallback)
+            rec.reused = sorted(rec.fallback)
+            out = compose_summary(rec, partial=True)
+            out["stale_engine"] = True
+            out["measured_at"] = sorted(rec.fallback_keys)
+            print(json.dumps(out), flush=True)
+            sys.exit(1)
         emit()
         sys.exit(1)
     print(f"# backend: {backend}", file=sys.stderr, flush=True)

@@ -85,6 +85,19 @@ def _morton16(ix, iy):
 USE_BITONIC_SORT = True
 
 
+def morton_codes(px, py, x1, x2, y1, y2, bits: int = 15):
+    """Z-order codes for positions against an EXPLICIT bounding box.
+
+    Split out of morton_sort so the sharded step (parallel/nbody_shard)
+    can compute codes locally from a pmin/pmax-reduced global AABB —
+    min/max are exact in f32, so local codes are bit-identical to the
+    gathered computation."""
+    scale = (1 << bits) - 1
+    ix = jnp.clip(((px - x1) / jnp.maximum(x2 - x1, 1e-12) * scale), 0, scale)
+    iy = jnp.clip(((py - y1) / jnp.maximum(y2 - y1, 1e-12) * scale), 0, scale)
+    return _morton16(ix.astype(jnp.int32), iy.astype(jnp.int32))
+
+
 def morton_sort(px, py, m, vx=None, vy=None, bits: int = 15,
                 interpret: bool | None = None,
                 use_bitonic: bool | None = None):
@@ -98,10 +111,7 @@ def morton_sort(px, py, m, vx=None, vy=None, bits: int = 15,
     order). Other sizes fall back to stable argsort."""
     x1, x2 = jnp.min(px), jnp.max(px)
     y1, y2 = jnp.min(py), jnp.max(py)
-    scale = (1 << bits) - 1
-    ix = jnp.clip(((px - x1) / jnp.maximum(x2 - x1, 1e-12) * scale), 0, scale)
-    iy = jnp.clip(((py - y1) / jnp.maximum(y2 - y1, 1e-12) * scale), 0, scale)
-    code = _morton16(ix.astype(jnp.int32), iy.astype(jnp.int32))
+    code = morton_codes(px, py, x1, x2, y1, y2, bits)
     vals = [px, py, m] + ([vx, vy] if vx is not None else [])
     n = px.shape[0]
     if use_bitonic is None:

@@ -92,6 +92,21 @@ def _substage_table(n: int) -> tuple[list[int], list[int]]:
     return js, ks
 
 
+def _merge_table(n: int) -> tuple[list[int], list[int]]:
+    """(j, k) substages of the ascending bitonic MERGE of a bitonic
+    n-sequence — the final k == n block of the full network (log n
+    substages instead of the sort's log^2 n). Correct only when the
+    input is bitonic under the (key, idx) order, e.g. either half of a
+    Batcher compare-split of two sorted sequences."""
+    js, ks = [], []
+    j = n // 2
+    while j >= 1:
+        js.append(j)
+        ks.append(n)
+        j //= 2
+    return js, ks
+
+
 def _exchange(key, idx, vals, pkey, pidx, pvals, flat, j, k):
     """One compare-exchange given own and partner values; j/k may be
     Python ints (unrolled mode) or traced scalars (loop mode)."""
@@ -107,11 +122,13 @@ def _exchange(key, idx, vals, pkey, pidx, pvals, flat, j, k):
     return key, idx, vals
 
 
-def _make_kernel(n: int, nv: int):
+def _make_kernel(n: int, nv: int, table=None):
     """Fully unrolled network: every substage has STATIC roll amounts
     (2 rolls + select per array). Fastest form, but Mosaic compile cost
     grows as substages x vregs — used below an instruction budget."""
     rows = n // LANES
+    if table is None:
+        table = _substage_table(n)
 
     def kernel(*refs):
         # refs = [key_in, idx_in, v_in..., key_out, idx_out, v_out...]
@@ -123,7 +140,7 @@ def _make_kernel(n: int, nv: int):
         flat = (lax.broadcasted_iota(jnp.int32, key.shape, 0) * LANES
                 + lax.broadcasted_iota(jnp.int32, key.shape, 1))
 
-        for j, k in zip(*_substage_table(n)):
+        for j, k in zip(*table):
             key, idx, vals = _exchange(
                 key, idx, vals,
                 _partner(key, j, rows), _partner(idx, j, rows),
@@ -179,35 +196,27 @@ def _make_kernel_loop(n: int, nv: int):
 _UNROLL_BUDGET = 60_000
 
 
-def _use_loop(n: int, nv: int) -> bool:
-    substages = len(_substage_table(n)[0])
+def _use_loop(substages: int, n: int, nv: int) -> bool:
     vregs = max(1, n // 1024)
     return substages * vregs * (3 * (nv + 2) + 6) > _UNROLL_BUDGET
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def sort_kv(key, values, interpret: bool | None = None):
-    """Stable sort of int32 `key` carrying `values` (list of f32/i32 [n]).
-
-    Returns (sorted_key, sorted_values_list). Bit-identical to
-    jnp.argsort(key, stable=True) applied to every array. n must be a
-    power of two, >= 256, and small enough that (2 + len(values)) arrays
-    of n * 4 bytes plus temporaries fit VMEM (131072 x 8 arrays = 4 MB
-    is the N-body use and compiles fine)."""
+def _run_network(key, idx, values, table, interpret):
+    """Run a (j, k) substage table over (key, idx, values); returns the
+    permuted (key, idx, values) with idx carried through the network."""
     n = key.shape[0]
     assert n >= 256 and (n & (n - 1)) == 0, f"n={n} not a power of two"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows = n // LANES
-    idx = jnp.arange(n, dtype=jnp.int32)
     shaped = [key.reshape(rows, LANES), idx.reshape(rows, LANES)]
     shaped += [v.reshape(rows, LANES) for v in values]
     nv = len(values)
     out_shapes = [jax.ShapeDtypeStruct((rows, LANES), a.dtype)
                   for a in shaped]
     vmem = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(shaped)
-    if _use_loop(n, nv):
-        js, ks = _substage_table(n)
+    if _use_loop(len(table[0]), n, nv):
+        js, ks = table
         outs = pl.pallas_call(
             _make_kernel_loop(n, nv),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + vmem,
@@ -217,10 +226,43 @@ def sort_kv(key, values, interpret: bool | None = None):
         )(jnp.asarray(js, jnp.int32), jnp.asarray(ks, jnp.int32), *shaped)
     else:
         outs = pl.pallas_call(
-            _make_kernel(n, nv),
+            _make_kernel(n, nv, table),
             in_specs=vmem,
             out_specs=vmem,
             out_shape=out_shapes,
             interpret=interpret,
         )(*shaped)
-    return outs[0].reshape(n), [o.reshape(n) for o in outs[2:]]
+    return (outs[0].reshape(n), outs[1].reshape(n),
+            [o.reshape(n) for o in outs[2:]])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sort_kv(key, values, interpret: bool | None = None, idx=None):
+    """Stable sort of int32 `key` carrying `values` (list of f32/i32 [n]).
+
+    Returns (sorted_key, sorted_values_list). Bit-identical to
+    jnp.argsort(key, stable=True) applied to every array. n must be a
+    power of two, >= 256, and small enough that (2 + len(values)) arrays
+    of n * 4 bytes plus temporaries fit VMEM (131072 x 8 arrays = 4 MB
+    is the N-body use and compiles fine).
+
+    `idx` (optional i32 [n]) replaces the implicit arange tiebreak: the
+    sort order becomes lexicographic (key, idx) — the distributed sort
+    (parallel/sort_shard.py) passes GLOBAL positions here so every chunk
+    breaks ties the way a replicated stable sort of the whole would."""
+    if idx is None:
+        idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    skey, _, svals = _run_network(key, idx, values,
+                                  _substage_table(key.shape[0]), interpret)
+    return skey, svals
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def merge_kv(key, idx, values, interpret: bool | None = None):
+    """Ascending bitonic MERGE of a (key, idx)-bitonic sequence carrying
+    `values` — log n substages vs the full sort's log^2 n. The inputs of
+    record: either half of a Batcher compare-split of two (key, idx)-
+    sorted sequences is bitonic, which is exactly what the distributed
+    sort's cross-device stages produce. Returns (key, idx, values)."""
+    return _run_network(key, idx, values, _merge_table(key.shape[0]),
+                        interpret)

@@ -67,7 +67,8 @@ def make_step(mesh: Mesh, axis="p"):
 
 
 def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
-                 k_near: int | None = None):
+                 k_near: int | None = None,
+                 distributed_sort: bool | None = None):
     """Multi-chip block Barnes-Hut — the PRODUCTION approximate step.
 
     VERDICT r2 #3b: the sharded N-body previously covered brute force
@@ -76,12 +77,15 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
     slice at nbody.rs:424-478).
 
     Decomposition per step, per device:
-      1. all-gather the (Morton-unsorted) particle shards — one 2.6 MB
-         exchange at N=131k over ICI;
-      2. REPLICATED global Morton sort + per-block aggregates + K-nearest
-         AABB selection (identical on every device; O(N log N) —
-         negligible beside the force sweeps, and replicating it avoids a
-         distributed sort);
+      1. DISTRIBUTED Morton sort (parallel/sort_shard.py): codes are
+         computed locally against a pmin/pmax-reduced global AABB, then
+         a hypercube bitonic compare-split sort leaves each device
+         holding its contiguous chunk of the globally sorted order —
+         per-device sort work drops ~1/D vs the replicated sort that
+         previously capped 8-device scaling at ~2.6x (Amdahl);
+      2. all-gather the SORTED positions + masses (the near-field block
+         gathers index arbitrary global blocks) and replicate the cheap
+         O(N) block aggregates + O(B^2) K-nearest AABB ranking;
       3. LOCAL force evaluation for this device's contiguous slice of
          target blocks only (exact K-near pairs + [n_loc, B] monopole far
          field — the O(N·B + N·K·block) bulk, split 1/D);
@@ -89,15 +93,25 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
 
     Returns (px, py, vx, vy, m) sharded on `axis`, globally Morton-sorted
     (the concatenation of local slices IS the sorted order, so the result
-    matches single-device step_bh exactly).
+    matches single-device step_bh exactly — the distributed sort breaks
+    ties by global input position, reproducing the stable order bit-for-
+    bit; tests/test_parallel.py pins it).
+
+    `distributed_sort=False` restores the replicated-sort form (each
+    device gathers all N and sorts; kept as the semantics oracle and for
+    non-power-of-two device counts, which the XOR partnering excludes).
 
     Signature of the returned fn: (px, py, vx, vy, m, dt) — dt traced.
     """
-    from ..ops.nbody_bh import morton_sort, near_block_indices, theta_to_k
+    from ..ops.nbody_bh import (morton_codes, morton_sort,
+                                near_block_indices, theta_to_k)
     from ..ops.nbody_forces import EPS, kill_runaway
     from .gol_shard import axis_size
+    from .sort_shard import dist_sort_stable
 
     n_dev = axis_size(mesh, axis)
+    if distributed_sort is None:
+        distributed_sort = n_dev & (n_dev - 1) == 0
     if k_near is None:
         # Derive from the reference's default theta so the calibrated
         # K(theta) (cross-calibrated vs the reference quadtree; see
@@ -118,24 +132,48 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
         check_rep=False,
     )
     def step(pxs, pys, vxs, vys, ms, dt):
-        # 1. gather the full particle set
-        px = lax.all_gather(pxs, axis, tiled=True)
-        py = lax.all_gather(pys, axis, tiled=True)
-        vx = lax.all_gather(vxs, axis, tiled=True)
-        vy = lax.all_gather(vys, axis, tiled=True)
-        m = lax.all_gather(ms, axis, tiled=True)
-        n = px.shape[0]
+        interp = mesh.devices.flat[0].platform != "tpu"
+        n_loc = pxs.shape[0]
+        n = n_loc * n_dev
         B = n // block
         nb_loc = B // n_dev
         assert n % block == 0 and B % n_dev == 0
         kn = min(k_near, B)  # shapes are static at trace time
+        dev = lax.axis_index(axis)
+        b0 = dev * nb_loc
 
-        # 2. replicated sort + aggregates (identical on every device);
-        # the sort's Pallas path needs interpret mode off-TPU, keyed by
-        # the MESH platform (see gol_shard's note on sitecustomize)
-        px, py, m, vx, vy = morton_sort(
-            px, py, m, vx, vy,
-            interpret=mesh.devices.flat[0].platform != "tpu")
+        if distributed_sort:
+            # 1. codes from the pmin/pmax global AABB (min/max are exact
+            # in f32, so local codes == gathered-computation codes), then
+            # the hypercube bitonic sort: device d ends up holding the
+            # d-th contiguous chunk of the global Morton order.
+            x1 = lax.pmin(jnp.min(pxs), axis)
+            x2 = lax.pmax(jnp.max(pxs), axis)
+            y1 = lax.pmin(jnp.min(pys), axis)
+            y2 = lax.pmax(jnp.max(pys), axis)
+            code = morton_codes(pxs, pys, x1, x2, y1, y2)
+            _, _, (pxl, pyl, ml, vxl0, vyl0) = dist_sort_stable(
+                code, [pxs, pys, ms, vxs, vys], axis, n_dev,
+                interpret=interp)
+            # 2. gather SORTED positions/masses for the source blocks;
+            # velocities stay local (only the local slice integrates)
+            px = lax.all_gather(pxl, axis, tiled=True)
+            py = lax.all_gather(pyl, axis, tiled=True)
+            m = lax.all_gather(ml, axis, tiled=True)
+            xt = pxl.reshape(nb_loc, block)
+            yt = pyl.reshape(nb_loc, block)
+        else:
+            # Replicated-sort oracle: gather everything, each device
+            # sorts all N (the pre-round-4 form; also the route for
+            # non-power-of-two device counts)
+            px = lax.all_gather(pxs, axis, tiled=True)
+            py = lax.all_gather(pys, axis, tiled=True)
+            vx = lax.all_gather(vxs, axis, tiled=True)
+            vy = lax.all_gather(vys, axis, tiled=True)
+            m = lax.all_gather(ms, axis, tiled=True)
+            px, py, m, vx, vy = morton_sort(px, py, m, vx, vy,
+                                            interpret=interp)
+
         xb = px.reshape(B, block)
         yb = py.reshape(B, block)
         mb = m.reshape(B, block)
@@ -147,10 +185,9 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
                                  kn)                         # [B, K]
 
         # 3. local target slice: contiguous blocks [b0, b0 + nb_loc)
-        dev = lax.axis_index(axis)
-        b0 = dev * nb_loc
-        xt = lax.dynamic_slice_in_dim(xb, b0, nb_loc, 0)     # [nb, block]
-        yt = lax.dynamic_slice_in_dim(yb, b0, nb_loc, 0)
+        if not distributed_sort:
+            xt = lax.dynamic_slice_in_dim(xb, b0, nb_loc, 0)  # [nb, block]
+            yt = lax.dynamic_slice_in_dim(yb, b0, nb_loc, 0)
         idx_loc = lax.dynamic_slice_in_dim(idx, b0, nb_loc, 0)
 
         def body(k, acc):
@@ -169,20 +206,22 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
 
         nearmask = jnp.zeros((nb_loc, B), bool).at[
             jnp.arange(nb_loc, dtype=jnp.int32)[:, None], idx_loc].set(True)
-        n_loc = nb_loc * block
         pxl = xt.reshape(n_loc)
         pyl = yt.reshape(n_loc)
         dxf = cx[None, :] - pxl[:, None]                     # [n_loc, B]
         dyf = cy[None, :] - pyl[:, None]
         rf = msum[None, :] / (dxf * dxf + dyf * dyf + EPS)
         rf = jnp.where(jnp.repeat(nearmask, block, axis=0), 0.0, rf)
-        ml = lax.dynamic_slice_in_dim(m, b0 * block, n_loc, 0)
+        if not distributed_sort:
+            ml = lax.dynamic_slice_in_dim(m, b0 * block, n_loc, 0)
+            vxl0 = lax.dynamic_slice_in_dim(vx, b0 * block, n_loc, 0)
+            vyl0 = lax.dynamic_slice_in_dim(vy, b0 * block, n_loc, 0)
         fxl = (fx.reshape(n_loc) + jnp.sum(rf * dxf, axis=1)) * ml
         fyl = (fy.reshape(n_loc) + jnp.sum(rf * dyf, axis=1)) * ml
 
         # 4. Euler + runaway kill on the local slice (nbody.rs:150-161,460-471)
-        vxl = lax.dynamic_slice_in_dim(vx, b0 * block, n_loc, 0) + dt * fxl / ml
-        vyl = lax.dynamic_slice_in_dim(vy, b0 * block, n_loc, 0) + dt * fyl / ml
+        vxl = vxl0 + dt * fxl / ml
+        vyl = vyl0 + dt * fyl / ml
         pxl = pxl + dt * vxl
         pyl = pyl + dt * vyl
         vxl, vyl = kill_runaway(pxl, pyl, vxl, vyl)

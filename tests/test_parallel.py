@@ -429,3 +429,91 @@ def test_gol_sharded_pallas_big_grid():
     got = np.asarray(step(gol_shard.shard_grid(g, mesh)))
     want = np.asarray(gol_stencil.multi_step(g, 4, "roll"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dist_sort_stable_bit_exact():
+    """parallel/sort_shard: the hypercube bitonic compare-split sort's
+    concatenated output must be BIT-IDENTICAL to a replicated stable
+    sort — including heavy key ties, which the (key, global position)
+    lexicographic compare resolves exactly like jnp's stable argsort."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rustexp_tpu.parallel.sort_shard import dist_sort_stable
+
+    mesh = _mesh(8, "p")
+    n = 8 * 2048
+    rng = np.random.default_rng(0)
+    key = rng.integers(0, 50, n).astype(np.int32)  # ~330 ties per key
+    vals = [rng.standard_normal(n).astype(np.float32) for _ in range(3)]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("p"),) * 4,
+             out_specs=(P("p"),) * 5, check_rep=False)
+    def run(k, a, b, c):
+        sk, sg, sv = dist_sort_stable(k, [a, b, c], "p", 8, interpret=True)
+        return (sk, sg, *sv)
+
+    sk, sg, *sv = run(jnp.asarray(key), *[jnp.asarray(v) for v in vals])
+    order = np.argsort(key, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), key[order])
+    np.testing.assert_array_equal(np.asarray(sg), order)
+    for got, v in zip(sv, vals):
+        np.testing.assert_array_equal(np.asarray(got), v[order])
+
+
+def test_dist_sort_xla_fallback_matches():
+    """Non-power-of-two local chunks route the local sort/merge through
+    lexsort instead of the Pallas network — same global result."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rustexp_tpu.parallel.sort_shard import dist_sort_stable
+
+    mesh = _mesh(8, "p")
+    n = 8 * 384  # 384 is not a power of two
+    rng = np.random.default_rng(1)
+    key = rng.integers(0, 9, n).astype(np.int32)
+    val = rng.standard_normal(n).astype(np.float32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("p"),) * 2,
+             out_specs=(P("p"),) * 3, check_rep=False)
+    def run(k, a):
+        sk, sg, sv = dist_sort_stable(k, [a], "p", 8, interpret=True)
+        return (sk, sg, sv[0])
+
+    sk, sg, sval = run(jnp.asarray(key), jnp.asarray(val))
+    order = np.argsort(key, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), key[order])
+    np.testing.assert_array_equal(np.asarray(sval), val[order])
+
+
+def test_nbody_sharded_bh_distributed_vs_replicated_sort():
+    """make_step_bh's distributed-sort path (the round-4 Amdahl fix: the
+    Morton sort previously ran replicated on every device) must equal
+    both the replicated-sort oracle form and single-device step_bh,
+    across multiple steps."""
+    from rustexp_tpu.ops import nbody_bh
+    from rustexp_tpu.parallel import nbody_shard
+    from rustexp_tpu.sims.nbody import stable_orbits
+
+    px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(2), 4096)
+    mesh = _mesh(8, "p")
+    step_d = nbody_shard.make_step_bh(mesh, block=128, k_near=6,
+                                      distributed_sort=True)
+    step_r = nbody_shard.make_step_bh(mesh, block=128, k_near=6,
+                                      distributed_sort=False)
+    sd = nbody_shard.shard_particles((px, py, vx, vy, m), mesh)
+    sr = sd
+    ref = (px, py, vx, vy, m)
+    for _ in range(3):
+        sd = step_d(*sd, jnp.float32(0.01))
+        sr = step_r(*sr, jnp.float32(0.01))
+        ref = nbody_bh.step_bh(*ref, 128, 6, 0.01)
+        for g, w in zip(sd, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        for g, w in zip(sr, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

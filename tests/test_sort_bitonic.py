@@ -55,5 +55,36 @@ def test_loop_mode_matches(monkeypatch):
     from rustexp_tpu.ops import sort_bitonic as sb
 
     monkeypatch.setattr(sb, "_UNROLL_BUDGET", 1)
-    assert sb._use_loop(256, 1)
+    assert sb._use_loop(len(sb._substage_table(256)[0]), 256, 1)
     _check(512, 5, 3, seed=4)
+
+
+def test_merge_kv_bitonic_input():
+    """merge_kv sorts any (key, idx)-bitonic input — in particular the
+    halves of a Batcher compare-split of two sorted chunks, which is how
+    the distributed sort (parallel/sort_shard) uses it."""
+    import numpy as np
+
+    from rustexp_tpu.ops import sort_bitonic as sb
+
+    rng = np.random.default_rng(7)
+    n = 512
+    # build two stably-sorted (key, gidx) chunks and split them
+    ka = np.sort(rng.integers(0, 40, n).astype(np.int32))
+    kb = np.sort(rng.integers(0, 40, n).astype(np.int32))
+    ga = np.arange(n, dtype=np.int32)
+    gb = np.arange(n, 2 * n, dtype=np.int32)
+    va = rng.standard_normal(n).astype(np.float32)
+    vb = rng.standard_normal(n).astype(np.float32)
+    kbr, gbr, vbr = kb[::-1], gb[::-1], vb[::-1]
+    mine_first = (ka < kbr) | ((ka == kbr) & (ga < gbr))
+    for keep in (mine_first, ~mine_first):  # min-half and max-half
+        key = np.where(keep, ka, kbr)
+        gidx = np.where(keep, ga, gbr)
+        val = np.where(keep, va, vbr)
+        sk, sg, sv = sb.merge_kv(jnp.asarray(key), jnp.asarray(gidx),
+                                 [jnp.asarray(val)], interpret=True)
+        order = np.lexsort((gidx, key))
+        np.testing.assert_array_equal(np.asarray(sk), key[order])
+        np.testing.assert_array_equal(np.asarray(sg), gidx[order])
+        np.testing.assert_array_equal(np.asarray(sv[0]), val[order])
