@@ -78,10 +78,13 @@ class Recorder:
         self.git_sha = _git_sha()
         self.results: dict[str, dict] = {}
         self.reused: list[str] = []
-        # Newest-first fallback from DIFFERENT engine versions: only ever
+        # Fallback records from DIFFERENT engine versions: only ever
         # surfaced when the backend is unreachable, explicitly marked.
+        # The newest record per name wins (the file is append-only), and
+        # each fallback payload keeps the engine hash it was measured at
+        # so the emitted attribution covers exactly the surfaced records.
         self.fallback: dict[str, dict] = {}
-        self.fallback_keys: set[str] = set()
+        self.fallback_shas: dict[str, str] = {}
         if PARTIAL.exists():
             for line in PARTIAL.read_text().splitlines():
                 try:
@@ -90,13 +93,16 @@ class Recorder:
                     continue
                 if not rec.get("name"):
                     continue
-                if rec.get("sha") == self.sha:
+                # Legacy records (pre-round-4) were keyed by git sha;
+                # accept the current git sha as an alternate match so a
+                # byte-identical tree doesn't demote its own captures.
+                if rec.get("sha") in (self.sha, self.git_sha):
                     if rec["name"] not in self.results:
                         self.reused.append(rec["name"])
                     self.results[rec["name"]] = rec["payload"]
                 else:
                     self.fallback[rec["name"]] = rec["payload"]
-                    self.fallback_keys.add(str(rec.get("sha")))
+                    self.fallback_shas[rec["name"]] = str(rec.get("sha"))
 
     def done(self, name: str) -> bool:
         return name in self.results
@@ -261,14 +267,19 @@ def main():
             # Dead tunnel, nothing measured for THIS engine version:
             # surface the newest prior capture instead of silence,
             # loudly marked as from a different engine hash.
-            print("# backend dead; emitting newest prior capture "
-                  f"(engine hash(es) {sorted(rec.fallback_keys)}, "
+            surfaced_shas = sorted(set(rec.fallback_shas.values()))
+            print("# backend dead; emitting newest prior capture per "
+                  f"metric (engine hash(es) {surfaced_shas}, "
                   f"current {rec.sha})", file=sys.stderr, flush=True)
             rec.results.update(rec.fallback)
             rec.reused = sorted(rec.fallback)
             out = compose_summary(rec, partial=True)
             out["stale_engine"] = True
-            out["measured_at"] = sorted(rec.fallback_keys)
+            # Per-result attribution: exactly the hashes of the payloads
+            # surfaced above (not the union of every hash ever seen).
+            out["measured_at"] = surfaced_shas
+            out["measured_at_by_metric"] = dict(sorted(
+                rec.fallback_shas.items()))
             print(json.dumps(out), flush=True)
             sys.exit(1)
         emit()

@@ -488,6 +488,9 @@ def test_dist_sort_xla_fallback_matches():
     sk, sg, sval = run(jnp.asarray(key), jnp.asarray(val))
     order = np.argsort(key, kind="stable")
     np.testing.assert_array_equal(np.asarray(sk), key[order])
+    # gidx must be the stable argsort order itself (a gidx bug on the
+    # lexsort fallback path would otherwise pass on keys/values alone)
+    np.testing.assert_array_equal(np.asarray(sg), order)
     np.testing.assert_array_equal(np.asarray(sval), val[order])
 
 
