@@ -15,11 +15,14 @@ facts that force this design (see docs/ROADMAP.md round-2 notes):
 
 Layout: the screen is tiled 8x128 (nty x ntx tiles). Each tile owns a
 contiguous, chunk-aligned segment of the queue; a 1-D Pallas grid walks
-chunks, with per-chunk scalars (tile ty/tx, first-chunk flag, pair count)
-prefetched into SMEM driving the output-block index map. Pair order within
-a tile is ascending triangle id = submission order, so the strict-less
-depth test reproduces the reference's first-wins tie rule exactly
-(rasterizer.rs:1704-1708).
+chunks, with per-chunk scalars (tile ty/tx, first-chunk flag, pair count,
+global tile row) prefetched into SMEM driving the output-block index map.
+Slot order within a tile is either ascending triangle id (= submission
+order, so the strict-less depth test alone reproduces the reference's
+first-wins tie rule, rasterizer.rs:1704-1708) or the round-5 plane order
+(one small sort instead of the big pair-key sort; the kernels' (z, tri)
+lexicographic tie-break restores the same winner independent of
+presentation order). See build_queue's `order`.
 
 The queue STRUCTURE (which triangle lands in which slot) depends only on
 AABB/tile geometry, so callers may cache it across frames and re-gather the
@@ -89,8 +92,14 @@ def _sort_keys(flat, big, use_bitonic: bool | None = None):
             return skey[:n]
     return jnp.sort(flat)
 
-# int channels per pair row: A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y
-_I_CH = 11
+# int channels per pair row:
+#   A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y tri
+# `tri` (the triangle id) exists for the depth-race tie-break: plane-ordered
+# queues (see build_queue order="plane") present a tile's pairs out of
+# submission order, and the reference's first-wins z-tie rule
+# (rasterizer.rs:1704-1708, strict-less against ascending submission)
+# is equivalent to lexicographic min over (z, triangle id).
+_I_CH = 12
 _F_CH = 7  # bias0 bias1 bias2 z0 z10 z20 inv_a2  (+ 3*(n2+n3) attr channels)
 
 
@@ -98,7 +107,9 @@ class Queue(NamedTuple):
     """Camera-coherent raster work queue (a pytree; cacheable across frames)."""
 
     ids: jnp.ndarray        # i32 [S, chunk] triangle id per slot, -1 = empty
-    scal: jnp.ndarray       # i32 [S, 4] per-chunk (ty, tx, first, count)
+    scal: jnp.ndarray       # i32 [S, 5] per-chunk (ty, tx, first, count,
+    #                         global_ty) — global_ty == ty except for
+    #                         cyclic-interleaved band queues (row_stride>1)
     ranges: jnp.ndarray     # i32 [T, 4] binned tile ranges (ty0, ty1, tx0, tx1)
     built_valid: jnp.ndarray  # bool [T] triangle was front-facing at build
     overflow: jnp.ndarray   # bool [] structure truncated (spans/S/rows exceeded)
@@ -120,59 +131,184 @@ def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
     return ty0, ty1, tx0, tx1
 
 
+def _plane_run_table(m_y: int, m_x: int):
+    """Static run enumeration for the plane-ordered build.
+
+    A run (dy, dx, cls) is the subset of a base-tile group with span class
+    `cls` = (sy-1)*m_x + (sx-1) that plane (dy, dx) re-binned to the tile
+    shifted by (dy, dx); it exists iff dy < sy and dx < sx. R =
+    [m_y(m_y+1)/2]*[m_x(m_x+1)/2] runs per tile.
+    """
+    runs = [(dy, dx, (sy - 1) * m_x + (sx - 1))
+            for dy in range(m_y) for dx in range(m_x)
+            for sy in range(dy + 1, m_y + 1) for sx in range(dx + 1, m_x + 1)]
+    return runs
+
+
 def build_queue(
     setup: TriSetup, h: int, w: int, *,
     s_cap: int, m_y: int, m_x: int, t_cap: int | None = None,
     chunk: int = CHUNK, tile_h: int = TILE_H, tile_w: int = TILE_W,
+    order: str = "auto", row_stride: int = 1, row_offset=0,
 ) -> Queue:
     """Construct the flat queue from a frame's triangle setup.
 
+    `row_stride` / `row_offset` (round 5) build a CYCLIC-interleaved band:
+    this queue covers only the global tile rows g with g % row_stride ==
+    row_offset, mapped to local tile row g // row_stride — the sharded
+    rasterizer's load-balance interleave (the reference's analog is its
+    sort-tiles-by-bin-size schedule, rasterizer.rs:2165-2167). `setup`
+    must then be the UNSHIFTED global-frame setup and `h` the GLOBAL
+    frame height; edge functions and AABB channels stay global (the
+    kernel evaluates at global pixel coordinates via the per-chunk global
+    tile row scalar), so no translation trick is needed and band output
+    rows are bit-identical to the same rows of a whole-frame render.
+    `ranges`/`ylim` stay in GLOBAL tile/pixel coordinates, which makes
+    check_queue_valid interleave-agnostic: a triangle staying inside its
+    built global tile range covers a subset of the strided rows it was
+    binned to.
+
     Static config (s_cap = chunk rows, m_y/m_x = max tile spans enumerated)
     comes from `suggest_queue`. Reference analog: the per-tile Vec push
-    binning loop rasterizer.rs:2115-2163, re-shaped as one flat key sort so
-    every step is a static-shape XLA op.
+    binning loop rasterizer.rs:2115-2163, re-shaped as static-shape XLA ops.
+
+    `order` picks the slot order within each tile's segment and the sort
+    that produces it ("auto" = plane for dense meshes, tri for tiny or
+    huge-span ones):
+
+      * "plane" (round 5): every enumeration plane (dy, dx) maps
+        triangle i to tile base_tile(i) + (dy*ntx + dx) — a CONSTANT shift
+        of the same base key — so ONE ascending sort of T keys
+        (base_tile, span_class, tri) replaces the T*m_y*m_x pair-key sort,
+        and each tile's segment is reassembled from <=R contiguous runs of
+        the single sorted array. The pair-key sort was the moving-camera
+        frame's largest build line item (killeroo, v5e, m=3x3: 219k keys
+        sort in 547 us; the single 24k-key sort is ~100 us). Slots are
+        NOT in ascending triangle order, so kernels MUST run the (z, tri)
+        depth tie-break (tie=True) to reproduce the reference's first-wins
+        tie rule.
+      * "tri": the round-2 layout — ascending triangle id within each tile
+        (the reference's submission order), from a full pair-key sort.
+        Valid with or without the tie-break.
     """
-    nty, ntx = h // tile_h, w // tile_w
-    n_tiles = nty * ntx
+    nty_g, ntx = h // tile_h, w // tile_w   # GLOBAL tile grid
+    if nty_g % row_stride:
+        raise ValueError(
+            f"{nty_g} tile rows not divisible by row_stride={row_stride}")
+    nty = nty_g // row_stride               # LOCAL tile rows this queue owns
+    n_tiles = nty * ntx                     # local tiles
+    n_tiles_g = nty_g * ntx
     T = setup.valid.shape[0]
+    row_offset = jnp.asarray(row_offset, jnp.int32)  # may be an axis index
 
     ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
     span_y = ty1 - ty0 + 1
     span_x = tx1 - tx0 + 1
 
-    # Pair enumeration per (triangle, dy, dx); tiles beyond the static
-    # m_y/m_x spans are not enumerated (overflow flag below).
-    dy = jnp.arange(m_y, dtype=jnp.int32)
-    dx = jnp.arange(m_x, dtype=jnp.int32)
-    t_ty = ty0[:, None, None] + dy[None, :, None]
-    t_tx = tx0[:, None, None] + dx[None, None, :]
-    ok = (
-        setup.valid[:, None, None]
-        & (dy[None, :, None] < span_y[:, None, None])
-        & (dx[None, None, :] < span_x[:, None, None])
-    )
-    tile_id = t_ty * ntx + t_tx
+    if order == "auto":
+        # Plane order wins when the pair-key sort it replaces is large and
+        # the per-tile run table it adds is small. Huge-triangle meshes
+        # (cube: spans ~ the whole screen) explode R = O(m_y^2 m_x^2)
+        # while their pair-key sort is tiny — legacy order is better there.
+        # Threshold measured on v5e (2026-08-19, moving-path in-graph
+        # rebuild): Killeroo T=24.3k −17%, Head T=40.5k −31%, KillerooV
+        # −19%, but TorusKnot T=2.9k +3% — small meshes' pair sorts are
+        # already cheap and the run reconstruction is pure overhead.
+        R_est = (m_y * (m_y + 1) // 2) * (m_x * (m_x + 1) // 2)
+        order = "plane" if (T >= 8192 and R_est <= 512) else "tri"
+    if order == "plane" and n_tiles_g * (m_y * m_x) * (T + 1) >= 2 ** 31:
+        order = "tri"  # key space must fit int32; fall back to the big sort
 
-    # Pair keys sorted by (tile, tri): slot order within a tile must be
-    # ascending triangle id (the reference's submission order, which the
-    # strict-less depth race turns into first-wins ties). Build-cost
-    # notes (measured on v5e, killeroo, sustained in-graph): the sort of
-    # ~T*m_y*m_x keys is ~1 ms; a cumsum-rank + per-pair SCATTER
-    # alternative is 5+ ms — TPU scatters cost ~25 ns/index, so anything
-    # per-pair must stay a sort/gather, and per-tile facts below use
-    # dense masked reductions over the [T, n_tiles] coverage matrix
-    # instead of scatter-min/max (which cost another ~4 ms).
-    tri_id = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None, None], tile_id.shape)
-    big = jnp.int32(n_tiles * T)
-    skey = _sort_keys(jnp.where(ok, tile_id * T + tri_id, big).reshape(-1),
-                      big)
+    if order == "plane":
+        # --- single-sort plane-shifted build -------------------------------
+        # Group keys stay GLOBAL under the interleave (the sort and
+        # histogram cover the whole frame); only the run table below picks
+        # the local tiles' source groups, so an interleaved plane build
+        # sorts once per device but reconstructs only its own rows.
+        C = m_y * m_x
+        sy = jnp.clip(span_y, 1, m_y)
+        sx = jnp.clip(span_x, 1, m_x)
+        cls = (sy - 1) * m_x + (sx - 1)
+        base = ty0 * ntx + tx0
+        group = base * C + cls                       # [T] in [0, n_tiles_g*C)
+        tri = jnp.arange(T, dtype=jnp.int32)
+        big = jnp.int32(n_tiles_g * C * T)
+        skey = _sort_keys(jnp.where(setup.valid, group * T + tri, big), big)
+        stri = skey % T                              # sorted tri ids
+        # Group lengths WITHOUT searchsorted (measured ~0.27 us/query on
+        # v5e — 1153 queries would cost more than the sort it supports):
+        # the (base, class) histogram factorizes over y and x, so one
+        # [nty_g*m_y, T] @ [T, ntx*m_x] one-hot matmul counts every group
+        # exactly (f32 is exact for integer counts < 2^24).
+        uy = ((ty0[:, None] == jnp.arange(nty_g, dtype=jnp.int32)[None, :])
+              & setup.valid[:, None])
+        usy = sy[:, None] == jnp.arange(1, m_y + 1, dtype=jnp.int32)[None, :]
+        ux = tx0[:, None] == jnp.arange(ntx, dtype=jnp.int32)[None, :]
+        usx = sx[:, None] == jnp.arange(1, m_x + 1, dtype=jnp.int32)[None, :]
+        U = (uy[:, :, None] & usy[:, None, :]).reshape(T, nty_g * m_y)
+        V = (ux[:, :, None] & usx[:, None, :]).reshape(T, ntx * m_x)
+        cnt_yx = jnp.einsum("ta,tb->ab", U.astype(jnp.float32),
+                            V.astype(jnp.float32))      # [nty_g*m_y, ntx*m_x]
+        glen = (cnt_yx.reshape(nty_g, m_y, ntx, m_x)
+                .transpose(0, 2, 1, 3).reshape(-1).astype(jnp.int32))
+        gbounds = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32), jnp.cumsum(glen)])  # [n_tiles_g*C+1]
 
-    bounds = jnp.searchsorted(
-        skey, jnp.arange(n_tiles + 1, dtype=jnp.int32) * T).astype(jnp.int32)
-    counts = bounds[1:] - bounds[:-1]  # [nT]
+        runs = _plane_run_table(m_y, m_x)
+        R = len(runs)
+        run_dy = jnp.asarray([r[0] for r in runs], jnp.int32)
+        run_dx = jnp.asarray([r[1] for r in runs], jnp.int32)
+        run_cls = jnp.asarray([r[2] for r in runs], jnp.int32)
+        t_y = (jnp.arange(n_tiles, dtype=jnp.int32) // ntx) * row_stride \
+            + row_offset                             # GLOBAL row of local tile
+        t_x = jnp.arange(n_tiles, dtype=jnp.int32) % ntx
+        src_ty = t_y[:, None] - run_dy[None, :]      # [n_tiles, R]
+        src_tx = t_x[:, None] - run_dx[None, :]
+        src_ok = (src_ty >= 0) & (src_tx >= 0)
+        src_g = jnp.where(src_ok,
+                          (src_ty * ntx + src_tx) * C + run_cls[None, :], 0)
+        run_len = jnp.where(src_ok, glen[src_g], 0)  # [n_tiles, R]
+        run_start = gbounds[src_g]
+        counts = jnp.sum(run_len, axis=1).astype(jnp.int32)
+    else:
+        # --- legacy full pair-key sort -------------------------------------
+        # Pair enumeration per (triangle, dy, dx); tiles beyond the static
+        # m_y/m_x spans are not enumerated (overflow flag below).
+        dy = jnp.arange(m_y, dtype=jnp.int32)
+        dx = jnp.arange(m_x, dtype=jnp.int32)
+        t_ty = ty0[:, None, None] + dy[None, :, None]
+        t_tx = tx0[:, None, None] + dx[None, None, :]
+        ok = (
+            setup.valid[:, None, None]
+            & (dy[None, :, None] < span_y[:, None, None])
+            & (dx[None, None, :] < span_x[:, None, None])
+            # Interleave: only pairs landing on this queue's global rows
+            # (t_ty % 1 == 0 always holds, so stride 1 costs nothing)
+            & (t_ty % row_stride == row_offset)
+        )
+        tile_id = (t_ty // row_stride) * ntx + t_tx   # LOCAL tile id
 
-    ty_ar = jnp.arange(nty, dtype=jnp.int32)
+        # Pair keys sorted by (tile, tri): ascending triangle id within a
+        # tile (the reference's submission order). Build-cost notes
+        # (measured on v5e, killeroo, sustained in-graph): the sort of
+        # ~T*m_y*m_x keys is ~1 ms; a cumsum-rank + per-pair SCATTER
+        # alternative is 5+ ms — TPU scatters cost ~25 ns/index, so
+        # anything per-pair must stay a sort/gather, and per-tile facts
+        # below use dense masked reductions over the [T, n_tiles] coverage
+        # matrix instead of scatter-min/max (which cost another ~4 ms).
+        tri_id = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[:, None, None], tile_id.shape)
+        big = jnp.int32(n_tiles * T)
+        skey = _sort_keys(
+            jnp.where(ok, tile_id * T + tri_id, big).reshape(-1), big)
+
+        bounds = jnp.searchsorted(
+            skey, jnp.arange(n_tiles + 1, dtype=jnp.int32) * T
+        ).astype(jnp.int32)
+        counts = bounds[1:] - bounds[:-1]  # [nT]
+
+    # Local-tile coverage; tile rows compare at their GLOBAL indices.
+    ty_ar = jnp.arange(nty, dtype=jnp.int32) * row_stride + row_offset
     tx_ar = jnp.arange(ntx, dtype=jnp.int32)
     cov_y = (ty_ar[None, :] >= ty0[:, None]) & (ty_ar[None, :] <= ty1[:, None])
     cov_x = (tx_ar[None, :] >= tx0[:, None]) & (tx_ar[None, :] <= tx1[:, None])
@@ -203,15 +339,44 @@ def build_queue(
     # uninitialized buffer over finished pixels.
     ty = jnp.where(chunk_live, tile_of // ntx, nty)
     tx = jnp.where(chunk_live, tile_of % ntx, 0)
+    # Column 4 is the GLOBAL tile row: the kernel evaluates edge functions
+    # at global pixel coordinates while the output block index map stays
+    # local (col 0) — what makes cyclic-interleaved band output rows
+    # bit-identical to the same rows of a whole-frame render. For the pad
+    # row (ty = nty) gty is out of range but cnt = 0: nothing evaluates.
+    gty = ty * row_stride + row_offset
     scal = jnp.stack(
-        [ty, tx, first.astype(jnp.int32), cnt], axis=1)  # [S, 4]
+        [ty, tx, first.astype(jnp.int32), cnt, gty], axis=1)  # [S, 5]
 
-    # Slot -> source pair (gather from the sorted key array)
-    pos = (bounds[tile_of] + k_of * chunk)[:, None] + jnp.arange(
-        chunk, dtype=jnp.int32)[None, :]                       # [S, chunk]
     slot_ok = jnp.arange(chunk, dtype=jnp.int32)[None, :] < cnt[:, None]
-    src = skey[jnp.clip(pos, 0, skey.shape[0] - 1).reshape(-1)]
-    ids = jnp.where(slot_ok, src.reshape(s_cap, chunk) % T, -1).astype(jnp.int32)
+    if order == "plane":
+        # Slot -> source pair: rank k within the tile's segment falls in
+        # run r iff exclusive-cum[r] <= k < inclusive-cum[r]; empty runs
+        # admit no rank, so exactly one run matches any k < counts[tile].
+        # GATHER-FREE form (first cut used 3 take_along_axis selects and
+        # lost its sort savings to them): the one-hot run membership
+        # matrix contracts against b = run_start - exclusive_cum in a
+        # batched matvec — pure VPU compare/FMA work, exact in f32
+        # (positions < 2^24).
+        kk = k_of[:, None] * chunk + jnp.arange(
+            chunk, dtype=jnp.int32)[None, :]             # [S, chunk]
+        rlen_t = run_len[tile_of]                        # [S, R]
+        rinc_t = jnp.cumsum(rlen_t, axis=1)
+        rexc_t = rinc_t - rlen_t
+        onehot = ((rexc_t[:, None, :] <= kk[:, :, None])
+                  & (kk[:, :, None] < rinc_t[:, None, :]))
+        b = (run_start[tile_of] - rexc_t).astype(jnp.float32)
+        pos = jnp.einsum("skr,sr->sk", onehot.astype(jnp.float32),
+                         b).astype(jnp.int32) + kk
+        src = stri[jnp.clip(pos, 0, T - 1).reshape(-1)]
+        ids = jnp.where(slot_ok, src.reshape(s_cap, chunk), -1)
+    else:
+        # Slot -> source pair (gather from the sorted key array)
+        pos = (bounds[tile_of] + k_of * chunk)[:, None] + jnp.arange(
+            chunk, dtype=jnp.int32)[None, :]                   # [S, chunk]
+        src = skey[jnp.clip(pos, 0, skey.shape[0] - 1).reshape(-1)]
+        ids = jnp.where(slot_ok, src.reshape(s_cap, chunk) % T,
+                        -1).astype(jnp.int32)
 
     overflow = (
         (total_chunks > s_cap)
@@ -229,7 +394,7 @@ def build_queue(
     # triangle AABB to stay inside its built (expanded) y-extent — the
     # tile-range check alone would let geometry drift onto rows the shade
     # pass skips, leaving background holes with stale never firing.
-    n_rb = h * ntx
+    n_rb = (nty * tile_h) * ntx   # row-blocks of the LOCAL output frame
     if t_cap is None or t_cap > n_rb:
         t_cap = n_rb
     ymin_tri = jnp.maximum(setup.min_y - ROW_MARGIN, 0)
@@ -245,7 +410,12 @@ def build_queue(
     ymax_t = jnp.max(jnp.where(cov, ymax_tri[:, None], 0), axis=0)
     rb_tile = (jnp.arange(n_rb, dtype=jnp.int32) // ntx // tile_h) * ntx \
         + jnp.arange(n_rb, dtype=jnp.int32) % ntx
-    rb_y = jnp.arange(n_rb, dtype=jnp.int32) // ntx
+    # Row-block ids are LOCAL (they index the local output planes); the
+    # occupancy test runs at the block's GLOBAL pixel row, since the
+    # per-tile y-extents above are global-frame AABB facts.
+    rb_ly = jnp.arange(n_rb, dtype=jnp.int32) // ntx
+    rb_y = (rb_ly // tile_h * row_stride + row_offset) * tile_h \
+        + rb_ly % tile_h
     occ_rb = ((counts[rb_tile] > 0)
               & (rb_y >= ymin_t[rb_tile]) & (rb_y < ymax_t[rb_tile]))
     occ_n = jnp.sum(occ_rb.astype(jnp.int32))
@@ -291,12 +461,13 @@ def pack_table(setup, extra_f):
     f32 attribute channels in kernel order (base*n2, d10*n2, d20*n2, then
     the 3w triples). Int channels are bitcast to f32 so ONE row gather
     fetches everything; gather_rows bitcasts them back. Channel layout:
-    i[0..10] = A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y, then
+    i[0..11] = A0 A1 B0 B1 C0 C1 S min_x min_y max_x max_y tri, then
     f[0..6] = bias0 bias1 bias2 z0 z10 z20 inv_a2, then extras.
     """
     S = setup.C0 + setup.C1 + setup.C2
+    tri = jnp.arange(setup.C0.shape[0], dtype=jnp.int32)
     ichans = [setup.A0, setup.A1, setup.B0, setup.B1, setup.C0, setup.C1,
-              S, setup.min_x, setup.min_y, setup.max_x, setup.max_y]
+              S, setup.min_x, setup.min_y, setup.max_x, setup.max_y, tri]
     fchans = [setup.bias0, setup.bias1, setup.bias2, setup.z0, setup.z10,
               setup.z20, setup.inv_a2, *extra_f]
     chans = [jax.lax.bitcast_convert_type(c, jnp.float32) for c in ichans]
@@ -343,19 +514,28 @@ def gather_rows(queue: Queue, tabT, return_flat: bool = False):
 
 def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
                   chunk: int, n2: int, n3: int, interleave: int,
-                  tile_h: int, tile_w: int, strict: bool = True):
-    """One chunk per grid step; per-pair constants are SMEM scalars."""
+                  tile_h: int, tile_w: int, strict: bool = True,
+                  tri_ref=None):
+    """One chunk per grid step; per-pair constants are SMEM scalars.
+
+    `tri_ref` (VMEM scratch plane, i32 [tile_h, tile_w]) enables the
+    (z, triangle-id) lexicographic depth tie-break required by
+    plane-ordered queues: the reference's strict-less race over ascending
+    submission order makes the FIRST triangle win z ties
+    (rasterizer.rs:1704-1708), which equals min (z, tri) regardless of the
+    order pairs are presented in.
+    """
     z_ref, slot_ref = out_refs[0], out_refs[1]
     lin_refs = out_refs[2:]
     c = pl.program_id(0)
-    ty = scal_ref[c, 0]
     tx = scal_ref[c, 1]
     first = scal_ref[c, 2]
     cnt = scal_ref[c, 3]
+    gty = scal_ref[c, 4]   # GLOBAL tile row (== col 0 unless interleaved)
 
     shape2 = (tile_h, tile_w)
     xs = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-    ys = ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    ys = gty * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
     xf = xs << 4
     yf = ys << 4
 
@@ -363,6 +543,8 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
     def _init():
         z_ref[:] = jnp.ones(shape2, jnp.float32)
         slot_ref[:] = jnp.full(shape2, -1, jnp.int32)
+        if tri_ref is not None:
+            tri_ref[:] = jnp.full(shape2, jnp.int32(0x7FFFFFFF))
         for r in lin_refs:
             r[:] = jnp.zeros(shape2, jnp.float32)
 
@@ -417,7 +599,13 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
                                 rows_f_ref[0, off + 2 * n3 + a, p],
                                 b1, b2, b0, zz))
 
-        upd = zm < z_ref[:]
+        if tri_ref is not None:
+            tri = rows_i_ref[0, 11, p]
+            cur = tri_ref[:]
+            upd = (zm < z_ref[:]) | ((zm == z_ref[:]) & (tri < cur))
+            tri_ref[:] = jnp.where(upd, tri, cur)
+        else:
+            upd = zm < z_ref[:]
         z_ref[:] = jnp.where(upd, zm, z_ref[:])
         slot_ref[:] = jnp.where(upd, slot_base + p, slot_ref[:])
         for r, lin in zip(lin_refs, lins):
@@ -435,7 +623,7 @@ def _queue_kernel(scal_ref, rows_i_ref, rows_f_ref, *out_refs,
 
 def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
                         *, chunk: int, interleave: int, tile_h: int,
-                        tile_w: int, strict: bool = True):
+                        tile_w: int, strict: bool = True, tri_ref=None):
     """Defer-lin variant: per pair, only the depth race runs in-kernel.
 
     Attribute planes are NOT interpolated here — the winning pair's slot id
@@ -445,14 +633,14 @@ def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
     count roughly in half for per-pixel scenes (ROADMAP lever #1).
     """
     c = pl.program_id(0)
-    ty = scal_ref[c, 0]
     tx = scal_ref[c, 1]
     first = scal_ref[c, 2]
     cnt = scal_ref[c, 3]
+    gty = scal_ref[c, 4]   # GLOBAL tile row (== col 0 unless interleaved)
 
     shape2 = (tile_h, tile_w)
     xs = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-    ys = ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    ys = gty * tile_h + jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
     xf = xs << 4
     yf = ys << 4
 
@@ -460,6 +648,8 @@ def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
     def _init():
         z_ref[:] = jnp.ones(shape2, jnp.float32)
         slot_ref[:] = jnp.full(shape2, -1, jnp.int32)
+        if tri_ref is not None:
+            tri_ref[:] = jnp.full(shape2, jnp.int32(0x7FFFFFFF))
 
     def one(p, slot_base):
         A0 = rows_i_ref[0, 0, p]
@@ -489,7 +679,13 @@ def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
                        rows_f_ref[0, 5, p], b2, b0, zz)
         zm = jnp.where(inside & in_box, zi, jnp.float32(jnp.inf))
 
-        upd = zm < z_ref[:]
+        if tri_ref is not None:
+            tri = rows_i_ref[0, 11, p]
+            cur = tri_ref[:]
+            upd = (zm < z_ref[:]) | ((zm == z_ref[:]) & (tri < cur))
+            tri_ref[:] = jnp.where(upd, tri, cur)
+        else:
+            upd = zm < z_ref[:]
         z_ref[:] = jnp.where(upd, zm, z_ref[:])
         slot_ref[:] = jnp.where(upd, slot_base + p, slot_ref[:])
 
@@ -504,11 +700,11 @@ def _queue_kernel_zslot(scal_ref, rows_i_ref, rows_f_ref, z_ref, slot_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "chunk", "tile_h", "tile_w", "interleave", "interpret"))
+    "h", "w", "chunk", "tile_h", "tile_w", "interleave", "interpret", "tie"))
 def raster_zslot_queue(
     queue: Queue, setup, extra_f, h: int, w: int, *, chunk: int = CHUNK,
     tile_h: int = TILE_H, tile_w: int = TILE_W, interleave: int = 1,
-    interpret: bool | None = None,
+    interpret: bool | None = None, tie: bool = True,
 ):
     """Depth-race-only rasterization through the flat queue.
 
@@ -516,6 +712,11 @@ def raster_zslot_queue(
     per pixel (-1 = background), `rows_flat` [S*chunk + 1, CH] the
     slot-indexed channel table (sentinel zero row last) for the deferred
     shade pass to re-evaluate the winner's attribute planes.
+
+    `tie=True` (required for plane-ordered queues, harmless for
+    tri-ordered ones) races on lexicographic (z, triangle id) instead of
+    z alone — the order-independent form of the reference's first-wins
+    z-tie rule.
     """
     if h % tile_h or w % tile_w:
         raise ValueError(f"frame {h}x{w} not divisible by {tile_h}x{tile_w}")
@@ -542,6 +743,8 @@ def raster_zslot_queue(
                          lambda c, scal: (scal[c, 0], scal[c, 1]),
                          memory_space=pltpu.VMEM)
         ] * 2,
+        scratch_shapes=(
+            [pltpu.VMEM((tile_h, tile_w), jnp.int32)] if tie else []),
     )
     hp = h + tile_h  # pad tile row for pad-chunk writes
     out_shape = [jax.ShapeDtypeStruct((hp, w), jnp.float32),
@@ -550,9 +753,11 @@ def raster_zslot_queue(
         _queue_kernel_zslot, chunk=chunk, interleave=interleave,
         tile_h=tile_h, tile_w=tile_w, strict=strict_default())
 
-    def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, z_ref, s_ref):
+    def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, z_ref, s_ref,
+                     *scratch):
         del slot_init_ref
-        kernel(scal_ref, ri_ref, rf_ref, z_ref, s_ref)
+        kernel(scal_ref, ri_ref, rf_ref, z_ref, s_ref,
+               tri_ref=scratch[0] if tie else None)
 
     slot_init = jnp.full((hp, w), -1, jnp.int32)
     z, slot = pl.pallas_call(
@@ -568,11 +773,12 @@ def raster_zslot_queue(
 
 @functools.partial(jax.jit, static_argnames=(
     "n2", "n3", "h", "w", "chunk", "tile_h", "tile_w", "interleave",
-    "interpret"))
+    "interpret", "tie"))
 def raster_attrs_queue(
     queue: Queue, setup, extra_f, n2: int, n3: int,
     h: int, w: int, *, chunk: int = CHUNK, tile_h: int = TILE_H,
     tile_w: int = TILE_W, interleave: int = 1, interpret: bool | None = None,
+    tie: bool = True,
 ):
     """Rasterize + interpolate attribute planes through the flat queue.
 
@@ -580,6 +786,9 @@ def raster_attrs_queue(
     attribute channels. Returns (z, mask, lins tuple, stale) — `stale` is
     True when the cached queue no longer covers this frame's geometry (or
     overflowed at build): the caller must rebuild the queue and re-render.
+
+    `tie=True` (required for plane-ordered queues) races on lexicographic
+    (z, triangle id); see raster_zslot_queue.
     """
     if h % tile_h or w % tile_w:
         raise ValueError(f"frame {h}x{w} not divisible by {tile_h}x{tile_w}")
@@ -611,6 +820,8 @@ def raster_attrs_queue(
                          lambda c, scal: (scal[c, 0], scal[c, 1]),
                          memory_space=pltpu.VMEM)
         ] * (2 + n_planes),
+        scratch_shapes=(
+            [pltpu.VMEM((tile_h, tile_w), jnp.int32)] if tie else []),
     )
     # One extra tile row receives pad-chunk writes; sliced off below.
     hp = h + tile_h
@@ -623,9 +834,13 @@ def raster_attrs_queue(
         _queue_kernel, chunk=chunk, n2=n2, n3=n3, interleave=interleave,
         tile_h=tile_h, tile_w=tile_w, strict=strict_default())
 
-    def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, *outs):
+    def kernel_entry(scal_ref, ri_ref, rf_ref, slot_init_ref, *rest):
         del slot_init_ref
-        kernel(scal_ref, ri_ref, rf_ref, *outs)
+        if tie:
+            *outs, tri_scratch = rest
+            kernel(scal_ref, ri_ref, rf_ref, *outs, tri_ref=tri_scratch)
+        else:
+            kernel(scal_ref, ri_ref, rf_ref, *rest)
 
     slot_init = jnp.full((hp, w), -1, jnp.int32)
     outs = pl.pallas_call(
@@ -663,17 +878,25 @@ def suggest_queue_config(setup_stats, margin: float = 1.3,
 
 def queue_stats(setup: TriSetup, h: int, w: int,
                 chunk: int = CHUNK, tile_h: int = TILE_H,
-                tile_w: int = TILE_W):
+                tile_w: int = TILE_W, row_stride: int = 1,
+                row_offset: int = 0):
     """(chunk count, max span_y, max span_x, occupied tiles) for
-    suggest_queue_config."""
-    nty, ntx = h // tile_h, w // tile_w
+    suggest_queue_config.
+
+    `row_stride`/`row_offset` (static ints) restrict the stats to the
+    cyclic-interleaved band's tiles — use the max over offsets for the
+    unified caps of an interleaved shard (parallel/raster_shard.py).
+    Span maxima stay GLOBAL: build_queue enumerates global spans.
+    """
+    nty_g, ntx = h // tile_h, w // tile_w
+    nty = nty_g // row_stride
     ty0, ty1, tx0, tx1 = tile_ranges(setup, tile_h, tile_w)
     one = jnp.int32(1)
     span_y = jnp.where(setup.valid, ty1 - ty0 + 1, one)
     span_x = jnp.where(setup.valid, tx1 - tx0 + 1, one)
 
     # per-tile counts via the coverage matrix (build-time only)
-    ty = jnp.arange(nty, dtype=jnp.int32)
+    ty = jnp.arange(nty, dtype=jnp.int32) * row_stride + row_offset
     tx = jnp.arange(ntx, dtype=jnp.int32)
     cov_y = (ty[None, :] >= ty0[:, None]) & (ty[None, :] <= ty1[:, None])
     cov_x = (tx[None, :] >= tx0[:, None]) & (tx[None, :] <= tx1[:, None])
@@ -687,7 +910,8 @@ def queue_stats(setup: TriSetup, h: int, w: int,
         setup.min_y - ROW_MARGIN, 0)[:, None], h), axis=0)
     ymax_t = jnp.max(jnp.where(covf, jnp.minimum(
         setup.max_y + ROW_MARGIN, h)[:, None], 0), axis=0)
-    t_lo = (jnp.arange(nty * ntx, dtype=jnp.int32) // ntx) * tile_h
+    t_lo = ((jnp.arange(nty * ntx, dtype=jnp.int32) // ntx)
+            * row_stride + row_offset) * tile_h   # GLOBAL first pixel row
     rows_per_tile = jnp.clip(
         jnp.minimum(ymax_t, t_lo + tile_h) - jnp.maximum(ymin_t, t_lo),
         0, tile_h)

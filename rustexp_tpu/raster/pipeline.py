@@ -687,7 +687,7 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
 
 def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
                      shader_idx: int, bg_fb, w: int, h: int, ray_world: bool,
-                     y0=0, full_h: int | None = None):
+                     y0=0, full_h: int | None = None, y_rows=None):
     """Deferred per-pixel shading over OCCUPIED row-blocks only.
 
     The per-pixel cubemap lookups are row gathers at ~2.6 ns/index — the
@@ -707,7 +707,9 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
     and pixel rows use the GLOBAL frame (y0 = band's first global row,
     full_h = global frame height) — the interpolated planes themselves are
     translation-invariant, only the world-ray reconstruction sees absolute
-    coordinates.
+    coordinates. `y_rows` ([h], overrides y0) maps each LOCAL row to an
+    arbitrary global row — the cyclic tile-row interleave's
+    non-contiguous bands.
     """
     from ..ops.raster_queue import TILE_W
 
@@ -724,7 +726,10 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
     if ray_world:
         nc = jnp.stack([comp(p_) * wrc for p_ in lin[4:7]], axis=-1)
         zc = comp(z)
-        yc = (rows_g // ntx).astype(jnp.float32)[:, None] + y0
+        if y_rows is None:
+            yc = (rows_g // ntx).astype(jnp.float32)[:, None] + y0
+        else:
+            yc = jnp.asarray(y_rows, jnp.float32)[rows_g // ntx][:, None]
         xc = ((rows_g % ntx) * TILE_W).astype(jnp.float32)[:, None] \
             + jnp.arange(TILE_W, dtype=jnp.float32)[None, :]
         M = inv_world_to_vp(eye, w, h if full_h is None else full_h)
@@ -753,16 +758,20 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
 # ---------------------------------------------------------------------------
 
 
-def background(bg_idx: int, w: int, h: int, y0=0, full_h: int | None = None):
+def background(bg_idx: int, w: int, h: int, y0=0, full_h: int | None = None,
+               y_rows=None):
     """Vertical gradient, packed without gamma (rasterizer.rs:1268-1299).
 
     `y0`/`full_h` evaluate a band of a taller frame's gradient at its
     GLOBAL rows (band-sharded rendering, parallel/raster_shard.py); y0
-    may be traced (a mesh axis index).
+    may be traced (a mesh axis index). `y_rows` ([h] i32/f32, overrides
+    y0) gives each local row an arbitrary global row — the cyclic
+    tile-row interleave's non-contiguous bands.
     """
     start, end = BACKGROUNDS[bg_idx]
-    pos = (y0 + jnp.arange(h, dtype=jnp.float32)) \
-        / float((h if full_h is None else full_h) - 1)
+    ys_g = (y0 + jnp.arange(h, dtype=jnp.float32)) if y_rows is None \
+        else jnp.asarray(y_rows, jnp.float32)
+    pos = ys_g / float((h if full_h is None else full_h) - 1)
     col = (
         jnp.asarray(start, jnp.float32)[None, :] * (1.0 - pos)[:, None]
         + jnp.asarray(end, jnp.float32)[None, :] * pos[:, None]

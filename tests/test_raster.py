@@ -533,3 +533,111 @@ def test_queue_defer_lin_bit_exact():
                                          bg_fb=bg, defer=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=f"per_pixel={per_pixel}")
+
+
+def _planar_setup_and_extra(scene, eye, w, h):
+    from rustexp_tpu.ops.raster_setup import setup_triangles_planar
+
+    xs, ys, zs, iw, _, _ = pp.transform_corners_planar(scene, eye, w, h)
+    setup = setup_triangles_planar(xs, ys, zs, w, h)
+    T = scene.tris.shape[0]
+    one = jnp.ones((T,), jnp.float32)
+    extra = (one * iw[0], one * iw[1] - one * iw[0], one * iw[2] - one * iw[0])
+    return setup, extra
+
+
+def _masked_eq(z1, m1, z2, m2):
+    # z is garbage at never-visited tiles by design (Queue docstring):
+    # compare only under the coverage mask.
+    return np.array_equal(m1, m2) and np.array_equal(z1[m1], z2[m1])
+
+
+def test_queue_plane_order_bit_exact():
+    """The round-5 plane-ordered build (one small sort + run
+    reconstruction, order="plane") must rasterize bit-identically to the
+    legacy tile-segment order — the kernels' (z, tri) lexicographic
+    tie-break makes the winner independent of slot presentation order
+    (the order-free form of rasterizer.rs:1704-1708 first-wins ties)."""
+    from rustexp_tpu.ops import raster_queue as rq
+
+    scene = pp.make_scene(mesh.make_sphere(16, 32),
+                          cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(0.7))
+    setup, extra = _planar_setup_and_extra(scene, eye, W, H)
+    stats = tuple(int(x) for x in rq.queue_stats(setup, H, W))
+    s_cap, m_y, m_x, t_cap = rq.suggest_queue_config(stats)
+    res = {}
+    for order in ("tri", "plane"):
+        q = rq.build_queue(setup, H, W, s_cap=s_cap, m_y=m_y, m_x=m_x,
+                           t_cap=t_cap, order=order)
+        assert not bool(q.overflow)
+        z, mask, lin, _ = rq.raster_attrs_queue(q, setup, extra, 1, 0, H, W)
+        res[order] = (np.asarray(z), np.asarray(mask),
+                      np.asarray(lin[0]), np.asarray(q.ids),
+                      np.asarray(q.scal))
+        # same per-tile pair multisets
+    for (qa, qb) in ((res["tri"], res["plane"]),):
+        tiles_a, tiles_b = {}, {}
+        for (ids, scal), out in (((qa[3], qa[4]), tiles_a),
+                                 ((qb[3], qb[4]), tiles_b)):
+            for c in range(ids.shape[0]):
+                ty, tx, _, cnt = scal[c, :4]
+                out.setdefault((int(ty), int(tx)), []).extend(
+                    sorted(ids[c, :cnt].tolist()))
+        assert {k: sorted(v) for k, v in tiles_a.items() if v} \
+            == {k: sorted(v) for k, v in tiles_b.items() if v}
+    zt, mt, lt, _, _ = res["tri"]
+    zp, mp, lp, _, _ = res["plane"]
+    assert _masked_eq(zp, mp, zt, mt)
+    assert np.array_equal(lp[mt], lt[mt])
+
+
+@pytest.mark.parametrize("D", [2, 4, 8])
+def test_queue_cyclic_interleave_bit_exact(D):
+    """Cyclic tile-row interleaved band queues (row_stride=D) rasterize
+    each band bit-identically to the corresponding global rows of a
+    whole-frame render, for both slot orders — the sharded rasterizer's
+    load-balance layout (VERDICT r4 #3; reference's analog is its
+    sort-tiles-by-bin-size schedule, rasterizer.rs:2165-2167)."""
+    from rustexp_tpu.ops import raster_queue as rq
+
+    tile_h = rq.TILE_H
+    scene = pp.make_scene(mesh.make_sphere(16, 32),
+                          cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(0.7))
+    setup, extra = _planar_setup_and_extra(scene, eye, W, H)
+
+    stats = tuple(int(x) for x in rq.queue_stats(setup, H, W))
+    caps = rq.suggest_queue_config(stats)
+    qf = rq.build_queue(setup, H, W, s_cap=caps[0], m_y=caps[1],
+                        m_x=caps[2], t_cap=caps[3], order="tri")
+    zf, mf, _, _ = rq.raster_attrs_queue(qf, setup, extra, 1, 0, H, W)
+    zf, mf = np.asarray(zf), np.asarray(mf)
+
+    sts = [tuple(int(x) for x in rq.queue_stats(
+        setup, H, W, row_stride=D, row_offset=d)) for d in range(D)]
+    agg = tuple(max(s[j] for s in sts) for j in range(4))
+    s_c, my, mx, t_c = rq.suggest_queue_config(agg)
+    bh = H // D
+    zb = np.zeros((H, W), np.float32)
+    mb = np.zeros((H, W), bool)
+    for d in range(D):
+        zd = md = None
+        for order in ("tri", "plane"):
+            q = rq.build_queue(setup, H, W, s_cap=s_c, m_y=my, m_x=mx,
+                               t_cap=t_c, order=order, row_stride=D,
+                               row_offset=d)
+            assert not bool(q.overflow)
+            z, m_, _, stale = rq.raster_attrs_queue(
+                q, setup, extra, 1, 0, bh, W)
+            assert not bool(stale)
+            z, m_ = np.asarray(z), np.asarray(m_)
+            if order == "tri":
+                zd, md = z, m_
+            else:
+                assert _masked_eq(z, m_, zd, md), f"D={D} d={d}"
+        for lt in range(bh // tile_h):
+            g = lt * D + d
+            zb[g * tile_h:(g + 1) * tile_h] = zd[lt * tile_h:(lt + 1) * tile_h]
+            mb[g * tile_h:(g + 1) * tile_h] = md[lt * tile_h:(lt + 1) * tile_h]
+    assert _masked_eq(zb, mb, zf, mf)
