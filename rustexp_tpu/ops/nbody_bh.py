@@ -136,8 +136,15 @@ def theta_to_k(theta: float, n_blocks: int) -> int:
     return max(2, min(n_blocks, int(-(-19.0 // (theta * theta)))))
 
 
-def near_block_indices(x1, x2, y1, y2, k_near: int):
+def near_block_indices(x1, x2, y1, y2, k_near: int,
+                       row0=None, rows: int | None = None):
     """K worst-approximated source blocks per target block.
+
+    `rows`/`row0` (round 5, sharded BH): compute only the `rows` target
+    rows starting at global block `row0` (traced OK) — the device's own
+    slice of the ranking, O(rows·B) instead of the replicated O(B²)
+    (VERDICT r4 #4b). Row contents are bit-identical to the same rows of
+    the full table (same per-row inputs, same stable argsort).
 
     Ranked by squared AABB distance over the source block's squared
     diagonal — the blockwise form of the reference's s/d opening test
@@ -156,16 +163,25 @@ def near_block_indices(x1, x2, y1, y2, k_near: int):
     pinned, self is always in the exact near set, where i == j pairs
     contribute exactly zero.
     """
-    ddx = jnp.maximum(0.0, jnp.maximum(x1[None, :] - x2[:, None],
-                                       x1[:, None] - x2[None, :]))
-    ddy = jnp.maximum(0.0, jnp.maximum(y1[None, :] - y2[:, None],
-                                       y1[:, None] - y2[None, :]))
+    if rows is None:
+        tx1, tx2, ty1, ty2 = x1, x2, y1, y2
+        r0 = jnp.int32(0)
+        rows = x1.shape[0]
+    else:
+        r0 = jnp.asarray(row0, jnp.int32)
+        tx1 = jax.lax.dynamic_slice_in_dim(x1, r0, rows, 0)
+        tx2 = jax.lax.dynamic_slice_in_dim(x2, r0, rows, 0)
+        ty1 = jax.lax.dynamic_slice_in_dim(y1, r0, rows, 0)
+        ty2 = jax.lax.dynamic_slice_in_dim(y2, r0, rows, 0)
+    ddx = jnp.maximum(0.0, jnp.maximum(x1[None, :] - tx2[:, None],
+                                       tx1[:, None] - x2[None, :]))
+    ddy = jnp.maximum(0.0, jnp.maximum(y1[None, :] - ty2[:, None],
+                                       ty1[:, None] - y2[None, :]))
     d2 = ddx * ddx + ddy * ddy
     diag2 = (x2 - x1) ** 2 + (y2 - y1) ** 2
     ratio = d2 / jnp.maximum(diag2, 1e-12)[None, :]
-    B = ratio.shape[0]
-    diag = jnp.arange(B, dtype=jnp.int32)
-    ratio = ratio.at[diag, diag].set(-1.0)
+    rr = jnp.arange(rows, dtype=jnp.int32)
+    ratio = ratio.at[rr, r0 + rr].set(-1.0)
     return jnp.argsort(ratio, axis=1)[:, :k_near]
 
 

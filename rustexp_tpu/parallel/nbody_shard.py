@@ -111,7 +111,9 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
 
     n_dev = axis_size(mesh, axis)
     if distributed_sort is None:
-        distributed_sort = n_dev & (n_dev - 1) == 0
+        # Any D: power-of-two runs the hypercube schedule, others the
+        # odd-even transposition schedule (sort_shard round-5 #4c).
+        distributed_sort = True
     if k_near is None:
         # Derive from the reference's default theta so the calibrated
         # K(theta) (cross-calibrated vs the reference quadtree; see
@@ -137,8 +139,18 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
         n = n_loc * n_dev
         B = n // block
         nb_loc = B // n_dev
-        assert n % block == 0 and B % n_dev == 0
-        kn = min(k_near, B)  # shapes are static at trace time
+        # Shapes are static at trace time -> these are clear Python
+        # errors, not device-side failures (VERDICT r4 #4a).
+        if n % block:
+            raise ValueError(
+                f"N={n} not divisible by block={block}")
+        if B % n_dev or nb_loc < 1:
+            raise ValueError(
+                f"B={B} blocks (N={n}/block={block}) must be a positive "
+                f"multiple of n_dev={n_dev}: every device needs the same "
+                f"whole number of target blocks. Grow N, shrink block, "
+                f"or shrink the mesh axis.")
+        kn = min(k_near, B)
         dev = lax.axis_index(axis)
         b0 = dev * nb_loc
 
@@ -162,6 +174,26 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
             m = lax.all_gather(ml, axis, tiled=True)
             xt = pxl.reshape(nb_loc, block)
             yt = pyl.reshape(nb_loc, block)
+            # Block aggregates computed on the LOCAL slice and
+            # all-gathered as tiny [B] vectors — O(N/D) arithmetic per
+            # device instead of the replicated O(N) reductions
+            # (VERDICT r4 #4b). Bit-identical: same block elements,
+            # same per-row reduction shapes.
+            mt = ml.reshape(nb_loc, block)
+            msum = lax.all_gather(jnp.sum(mt, axis=1), axis, tiled=True)
+            cxw = lax.all_gather(jnp.sum(xt * mt, axis=1), axis, tiled=True)
+            cyw = lax.all_gather(jnp.sum(yt * mt, axis=1), axis, tiled=True)
+            inv = 1.0 / jnp.maximum(msum, 1e-30)
+            cx = cxw * inv
+            cy = cyw * inv
+            bx1 = lax.all_gather(xt.min(1), axis, tiled=True)
+            bx2 = lax.all_gather(xt.max(1), axis, tiled=True)
+            by1 = lax.all_gather(yt.min(1), axis, tiled=True)
+            by2 = lax.all_gather(yt.max(1), axis, tiled=True)
+            # Ranking sharded to this device's target rows: O(nb_loc*B)
+            # instead of the replicated O(B^2) table.
+            idx_loc = near_block_indices(bx1, bx2, by1, by2, kn,
+                                         row0=b0, rows=nb_loc)
         else:
             # Replicated-sort oracle: gather everything, each device
             # sorts all N (the pre-round-4 form; also the route for
@@ -177,18 +209,19 @@ def make_step_bh(mesh: Mesh, axis="p", block: int = 256,
         xb = px.reshape(B, block)
         yb = py.reshape(B, block)
         mb = m.reshape(B, block)
-        msum = jnp.sum(mb, axis=1)
-        inv = 1.0 / jnp.maximum(msum, 1e-30)
-        cx = jnp.sum(xb * mb, axis=1) * inv
-        cy = jnp.sum(yb * mb, axis=1) * inv
-        idx = near_block_indices(xb.min(1), xb.max(1), yb.min(1), yb.max(1),
-                                 kn)                         # [B, K]
-
-        # 3. local target slice: contiguous blocks [b0, b0 + nb_loc)
         if not distributed_sort:
+            # Replicated-oracle branch: aggregates + full [B, K] ranking
+            # from the gathered arrays (the pre-round-5 form).
+            msum = jnp.sum(mb, axis=1)
+            inv = 1.0 / jnp.maximum(msum, 1e-30)
+            cx = jnp.sum(xb * mb, axis=1) * inv
+            cy = jnp.sum(yb * mb, axis=1) * inv
+            idx = near_block_indices(xb.min(1), xb.max(1),
+                                     yb.min(1), yb.max(1), kn)   # [B, K]
+            # 3. local target slice: contiguous blocks [b0, b0 + nb_loc)
             xt = lax.dynamic_slice_in_dim(xb, b0, nb_loc, 0)  # [nb, block]
             yt = lax.dynamic_slice_in_dim(yb, b0, nb_loc, 0)
-        idx_loc = lax.dynamic_slice_in_dim(idx, b0, nb_loc, 0)
+            idx_loc = lax.dynamic_slice_in_dim(idx, b0, nb_loc, 0)
 
         def body(k, acc):
             fx, fy = acc

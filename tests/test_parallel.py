@@ -576,3 +576,69 @@ def test_nbody_sharded_bh_distributed_vs_replicated_sort():
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
         for g, w in zip(sr, ref):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("n_dev", [3, 6])
+def test_dist_sort_non_power_of_two_devices(n_dev):
+    """Non-power-of-two D runs the odd-even transposition schedule
+    (round-5 #4c — previously a silent replicated-sort fallback). The
+    concatenated output must still be bit-identical to a replicated
+    stable sort, including heavy ties."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rustexp_tpu.parallel.sort_shard import dist_sort_stable
+
+    mesh = _mesh(n_dev, "p")
+    n = n_dev * 512
+    rng = np.random.default_rng(4)
+    key = rng.integers(0, 40, n).astype(np.int32)
+    vals = [rng.standard_normal(n).astype(np.float32) for _ in range(2)]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("p"),) * 3,
+             out_specs=(P("p"),) * 4, check_rep=False)
+    def run(k, a, b):
+        sk, sg, sv = dist_sort_stable(k, [a, b], "p", n_dev, interpret=True)
+        return (sk, sg, *sv)
+
+    sk, sg, *sv = run(jnp.asarray(key), *[jnp.asarray(v) for v in vals])
+    order = np.argsort(key, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), key[order])
+    np.testing.assert_array_equal(np.asarray(sg), order)
+    for got, v in zip(sv, vals):
+        np.testing.assert_array_equal(np.asarray(got), v[order])
+
+
+def test_nbody_sharded_bh_non_power_of_two_devices():
+    """The sharded BH step at D=6 (non-po2: odd-even-transposition
+    distributed sort + sharded aggregates/ranking) must still match
+    single-device step_bh bit-for-bit."""
+    from rustexp_tpu.ops import nbody_bh
+    from rustexp_tpu.parallel import nbody_shard
+    from rustexp_tpu.sims.nbody import stable_orbits
+
+    px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(3), 6 * 512)
+    mesh = _mesh(6, "p")
+    step = nbody_shard.make_step_bh(mesh, block=128, k_near=6)
+    got = step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh),
+               jnp.float32(0.01))
+    want = nbody_bh.step_bh(px, py, vx, vy, m, 128, 6, 0.01)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_nbody_sharded_bh_bad_blocking_raises():
+    """VERDICT r4 #4a: indivisible block/device configs must raise a
+    clear Python error at trace time, not fail device-side."""
+    from rustexp_tpu.parallel import nbody_shard
+    from rustexp_tpu.sims.nbody import stable_orbits
+
+    px, py, vx, vy, m = stable_orbits(jax.random.PRNGKey(4), 1024)
+    mesh = _mesh(8, "p")
+    # N=1024, block=256 -> B=4 < 8 devices
+    step = nbody_shard.make_step_bh(mesh, block=256, k_near=2)
+    with pytest.raises(ValueError, match="multiple of n_dev"):
+        step(*nbody_shard.shard_particles((px, py, vx, vy, m), mesh),
+             jnp.float32(0.01))
