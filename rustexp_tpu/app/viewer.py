@@ -64,7 +64,10 @@ def _experiments():
     from ..sims.nbody import NBodyExperiment
     from ..sims.rasterizer import RasterizerExperiment
 
-    return [GoLExperiment(), NBodyExperiment(), RasterizerExperiment()]
+    # prewarm=True: the rasterizer background-compiles neighbor configs
+    # so q/w/a/s/... switches land warm (async "compiling..." otherwise)
+    return [GoLExperiment(), NBodyExperiment(),
+            RasterizerExperiment(prewarm=True)]
 
 
 class SimWorker:

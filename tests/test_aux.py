@@ -217,3 +217,61 @@ def test_turntable_renders_frames_along_camera_path(tmp_path, wh):
     for f in (f0, f1):
         col = f.reshape(-1, 3)
         assert len(np.unique(col, axis=0)) > 4
+
+
+class TestPrewarm:
+    """Async rasterizer config switching (VERDICT r4 #5)."""
+
+    def _exp_state(self, w=128, h=128):
+        from rustexp_tpu.sims.rasterizer import RasterizerExperiment
+
+        exp = RasterizerExperiment(prewarm=True)
+        st = exp.init()
+        # first render warms the current config + seeds neighbors
+        exp.render(st, w, h, 0.0)
+        return exp, st
+
+    def test_key_goes_pending_then_lands(self):
+        import time
+
+        exp, st = self._exp_state()
+        mesh0 = st.mesh_idx
+        st = exp.handle_key(st, "W")  # next mesh: not warm yet -> pending
+        if st.pending is not None:
+            assert st.mesh_idx == mesh0          # switch NOT applied yet
+            assert "compiling" in exp.status(st)
+            # keep presenting frames; the switch must land once the
+            # background warm completes
+            deadline = time.time() + 120
+            while st.pending is not None and time.time() < deadline:
+                exp.render(st, 128, 128, 0.0)
+                time.sleep(0.05)
+        assert st.pending is None, "prewarm never landed the switch"
+        assert st.mesh_idx == (mesh0 + 1) % __import__(
+            "rustexp_tpu.assets.mesh", fromlist=["NUM_MESHES"]).NUM_MESHES
+        assert "compiling" not in exp.status(st)
+        # rendering the landed config works
+        exp.render(st, 128, 128, 0.0)
+
+    def test_warm_target_switches_immediately(self):
+        import time
+
+        exp, st = self._exp_state()
+        cfg_back = exp._cfg(st, 128, 128, {"per_pixel": not st.per_pixel})
+        # wait for the speculative neighbor warm to cover the toggle
+        deadline = time.time() + 120
+        while not st.prewarm.is_warm(cfg_back) and time.time() < deadline:
+            time.sleep(0.05)
+        assert st.prewarm.is_warm(cfg_back), "neighbor warm never finished"
+        ppx0 = st.per_pixel
+        st = exp.handle_key(st, "P")
+        assert st.pending is None and st.per_pixel == (not ppx0)
+
+    def test_no_prewarm_keys_apply_directly(self):
+        from rustexp_tpu.sims.rasterizer import RasterizerExperiment
+
+        exp = RasterizerExperiment()  # prewarm off (bench/headless)
+        st = exp.init()
+        m0 = st.mesh_idx
+        st = exp.handle_key(st, "W")
+        assert st.pending is None and st.mesh_idx != m0
