@@ -173,6 +173,11 @@ def compose_summary(rec: Recorder, partial: bool = False) -> dict:
             "suite_total_us": round(total_us),
             "scenes_done": len(scenes),
             "scene_us": {k: round(v["us"], 1) for k, v in scenes.items()},
+            # In-session best-to-worst spread per scene (VERDICT r4
+            # weak #4): the noise floor travels with the numbers.
+            "scene_spread_pct": {k: v.get("spread_pct")
+                                 for k, v in scenes.items()
+                                 if v.get("spread_pct") is not None},
         }
     elif "gol_256" in r:
         out = {"metric": "gol_cell_updates_per_s",
@@ -189,10 +194,18 @@ def compose_summary(rec: Recorder, partial: bool = False) -> dict:
     if "gol_256" in r:
         out["gol_cell_updates_per_s"] = r["gol_256"]["value"]
         out["gol_gens_per_s"] = r["gol_256"]["gens_per_s"]
+        if r["gol_256"].get("spread_pct") is not None:
+            out["gol_spread_pct"] = r["gol_256"]["spread_pct"]
+        if r["gol_256"].get("note"):
+            out["gol_256_note"] = r["gol_256"]["note"]
     if "gol_2048" in r:
         out["gol_2048_cell_updates_per_s"] = r["gol_2048"]["value"]
+        if r["gol_2048"].get("spread_pct") is not None:
+            out["gol_2048_spread_pct"] = r["gol_2048"]["spread_pct"]
     if "nbody_bh" in r:
         out["nbody_bh_steps_per_s_131k"] = r["nbody_bh"]["value"]
+        if r["nbody_bh"].get("spread_pct") is not None:
+            out["nbody_bh_spread_pct"] = r["nbody_bh"]["spread_pct"]
     if "nbody_brute" in r:
         out["nbody_brute_steps_per_s_131k"] = r["nbody_brute"]["value"]
     moving = {name: r[f"moving:{name}"] for name, *_ in SCENES
@@ -205,6 +218,9 @@ def compose_summary(rec: Recorder, partial: bool = False) -> dict:
         out["moving_vs_baseline"] = round(ref_total / mv_total, 3)
         out["moving_scene_us"] = {k: round(v["value"], 1)
                                   for k, v in moving.items()}
+        out["moving_scene_spread_pct"] = {
+            k: v.get("spread_pct") for k, v in moving.items()
+            if v.get("spread_pct") is not None}
         if "KillerooP" in moving:
             out["raster_moving_camera_us_KillerooP"] = \
                 moving["KillerooP"]["value"]
@@ -306,9 +322,13 @@ def main():
         _, mesh_idx, per_pixel, ref_us = scene_by_name[name]
 
         def run():
-            best = bm.bench_scene(mesh_idx, per_pixel, runs=20)
-            return {"us": best * 1e6, "ref_us": ref_us,
-                    "speedup": round(ref_us / (best * 1e6), 3)}
+            st = bm.bench_scene(mesh_idx, per_pixel, runs=20,
+                                return_stats=True)
+            return {"us": st["best"] * 1e6, "ref_us": ref_us,
+                    "speedup": round(ref_us / (st["best"] * 1e6), 3),
+                    "us_median": round(st["median"] * 1e6, 1),
+                    "spread_pct": st["spread_pct"],
+                    "n_runs": st["n_runs"]}
         return run
 
     for name in headline_scenes:

