@@ -85,6 +85,12 @@ class Recorder:
         # so the emitted attribution covers exactly the surfaced records.
         self.fallback: dict[str, dict] = {}
         self.fallback_shas: dict[str, str] = {}
+        # Backend each record was measured on (legacy records predate the
+        # field; every one of those was a TPU capture). A CPU smoke run of
+        # this harness writes records under the SAME content hash — without
+        # the tag a later TPU run would silently reuse CPU numbers.
+        self.backend: str | None = None
+        self.result_backends: dict[str, str] = {}
         if PARTIAL.exists():
             for line in PARTIAL.read_text().splitlines():
                 try:
@@ -100,9 +106,25 @@ class Recorder:
                     if rec["name"] not in self.results:
                         self.reused.append(rec["name"])
                     self.results[rec["name"]] = rec["payload"]
+                    self.result_backends[rec["name"]] = rec.get(
+                        "backend", "axon")
                 else:
+                    # Fallbacks are only ever surfaced as prior TPU
+                    # captures — never let a CPU smoke run stand in.
+                    if rec.get("backend", "axon") != "axon":
+                        continue
                     self.fallback[rec["name"]] = rec["payload"]
                     self.fallback_shas[rec["name"]] = str(rec.get("sha"))
+
+    def set_backend(self, backend: str) -> None:
+        """Pin the live backend; drop reused records measured elsewhere."""
+        self.backend = backend
+        for name in [n for n, b in self.result_backends.items()
+                     if b != backend]:
+            del self.results[name]
+            del self.result_backends[name]
+            if name in self.reused:
+                self.reused.remove(name)
 
     def done(self, name: str) -> bool:
         return name in self.results
@@ -113,7 +135,8 @@ class Recorder:
             self.reused.remove(name)
         with PARTIAL.open("a") as f:
             f.write(json.dumps({"name": name, "payload": payload,
-                                "sha": self.sha, "t": time.time()}) + "\n")
+                                "sha": self.sha, "backend": self.backend,
+                                "t": time.time()}) + "\n")
             f.flush()
             os.fsync(f.fileno())
         print(f"# recorded {name}: {payload}", file=sys.stderr, flush=True)
@@ -301,6 +324,7 @@ def main():
         emit()
         sys.exit(1)
     print(f"# backend: {backend}", file=sys.stderr, flush=True)
+    rec.set_backend(backend)
     from rustexp_tpu.core.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()

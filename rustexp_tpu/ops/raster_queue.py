@@ -58,6 +58,14 @@ ROW_MARGIN = 2  # rows of camera-drift headroom baked into Queue.rows/ylim.
 # Margin rows are shaded every frame (up to 2*margin extra rows per tile:
 # margin 8 cost HeadP ~340 us, margin 4 ~170); 2 still absorbs 2 px of
 # drift before a rebuild — interactive orbits move <1 px/frame in y
+SHADE_W = 64  # compacted-shade block width (px). The deferred shade pass
+# gathers only OCCUPIED blocks; narrower blocks skip uncovered x-spans
+# inside occupied rows (silhouette scenes: TorusKnotP 75% of the frame
+# occupied at 128-px blocks vs 64% at 64-px) at the cost of 2x the
+# gather/scatter indices. Measured on v5e (2026-08-19, sustained
+# fixed-eye, tools/proto_subshade.py): TorusKnotP 1662 -> 1167 us,
+# CornellBoxP 1411 -> 1226, KillerooP 1698 -> 1593 at 64 px; 32 px is
+# flat-to-worse (index overhead catches up). Must divide TILE_W.
 
 # Route the pair-key sort (~1 ms of the ~2.4 ms in-graph rebuild at
 # killeroo — the moving-camera frame's largest build line item) through
@@ -113,13 +121,17 @@ class Queue(NamedTuple):
     ranges: jnp.ndarray     # i32 [T, 4] binned tile ranges (ty0, ty1, tx0, tx1)
     built_valid: jnp.ndarray  # bool [T] triangle was front-facing at build
     overflow: jnp.ndarray   # bool [] structure truncated (spans/S/rows exceeded)
-    rows: jnp.ndarray       # i32 [Rc] occupied flat ROW-BLOCK ids (one id per
-    #                         tile_w-wide pixel row: (y * w + x0) / tile_w);
-    #                         h*ntx = pad. Deferred shading runs on these rows
-    #                         only — anything not listed has no coverage
+    rows: jnp.ndarray       # i32 [Rc] occupied flat SHADE-BLOCK ids (one id
+    #                         per shade_w-wide pixel span: (y * w + x0) /
+    #                         shade_w); h*(w//shade_w) = pad. Deferred shading
+    #                         runs on these blocks only — anything not listed
+    #                         has no coverage
     ylim: jnp.ndarray       # i32 [T, 2] per-triangle y-extent (with margin)
     #                         the rows list was built from; check_queue_valid
     #                         requires the frame's AABBs to stay inside it
+    xlim: jnp.ndarray       # i32 [T, 2] per-triangle x-extent (with margin),
+    #                         same contract as ylim: within-tile x drift can
+    #                         cover shade blocks the built rows list skips
 
 
 def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
@@ -150,8 +162,14 @@ def build_queue(
     s_cap: int, m_y: int, m_x: int, t_cap: int | None = None,
     chunk: int = CHUNK, tile_h: int = TILE_H, tile_w: int = TILE_W,
     order: str = "auto", row_stride: int = 1, row_offset=0,
+    shade_w: int = SHADE_W,
 ) -> Queue:
     """Construct the flat queue from a frame's triangle setup.
+
+    `shade_w` (round 5) is the compacted-shade block granularity the
+    `rows` list is built at; the render paths assume the default SHADE_W
+    (pipeline._shade_compacted's block_w must match), so override it only
+    in prototypes/tests.
 
     `row_stride` / `row_offset` (round 5) build a CYCLIC-interleaved band:
     this queue covers only the global tile rows g with g % row_stride ==
@@ -383,43 +401,54 @@ def build_queue(
         | jnp.any(setup.valid & ((span_y > m_y) | (span_x > m_x)))
     )
 
-    # Occupied ROW-BLOCK list for the compacted deferred-shade pass: a
-    # row-block is one tile_w-wide pixel row. Its occupancy is bounded by
-    # the y-extent of the pair AABBs landing in its tile — pixels outside
-    # can have no coverage. Row granularity beats tile granularity by the
-    # silhouette factor (measured ~25-35% fewer shaded pixels).
+    # Occupied SHADE-BLOCK list for the compacted deferred-shade pass: a
+    # shade block is one shade_w-wide pixel span of one row. Its occupancy
+    # is bounded by the y- AND x-extent of the pair AABBs landing in its
+    # tile — pixels outside can have no coverage. Row granularity beats
+    # tile granularity by the silhouette factor (measured ~25-35% fewer
+    # shaded pixels); sub-tile_w x granularity (SHADE_W) adds another
+    # 10-30% on silhouette-heavy scenes (header comment).
     #
     # Extents are expanded by ROW_MARGIN so the cached rows list survives
     # small camera drift; check_queue_valid then requires every frame's
-    # triangle AABB to stay inside its built (expanded) y-extent — the
-    # tile-range check alone would let geometry drift onto rows the shade
-    # pass skips, leaving background holes with stale never firing.
-    n_rb = (nty * tile_h) * ntx   # row-blocks of the LOCAL output frame
+    # triangle AABB to stay inside its built (expanded) extents — the
+    # tile-range check alone would let geometry drift onto blocks the
+    # shade pass skips, leaving background holes with stale never firing.
+    nsx = w // shade_w            # shade blocks per pixel row
+    spt = tile_w // shade_w       # shade blocks per tile column
+    n_rb = (nty * tile_h) * nsx   # shade blocks of the LOCAL output frame
     if t_cap is None or t_cap > n_rb:
         t_cap = n_rb
     ymin_tri = jnp.maximum(setup.min_y - ROW_MARGIN, 0)
     ymax_tri = jnp.minimum(setup.max_y + ROW_MARGIN, h)
-    # per-tile y bounds over its pairs: dense masked reductions over the
+    xmin_tri = jnp.maximum(setup.min_x - ROW_MARGIN, 0)
+    xmax_tri = jnp.minimum(setup.max_x + ROW_MARGIN, w)
+    # per-tile extents over its pairs: dense masked reductions over the
     # coverage matrix ([T, nT] vector min/max, ~0.1 ms) — scatter-min/max
     # over the pair enumeration cost ~4 ms at ~25 ns/scatter-index.
     # NOTE: cov covers the triangle's FULL tile range while the queue
-    # enumerates only m_y x m_x of it; the y-extents of beyond-span tiles
-    # are a superset, which only ever ADDS rows to the shade list (and
+    # enumerates only m_y x m_x of it; the extents of beyond-span tiles
+    # are a superset, which only ever ADDS blocks to the shade list (and
     # span overflow already sets the rebuild flag).
     ymin_t = jnp.min(jnp.where(cov, ymin_tri[:, None], h), axis=0)
     ymax_t = jnp.max(jnp.where(cov, ymax_tri[:, None], 0), axis=0)
-    rb_tile = (jnp.arange(n_rb, dtype=jnp.int32) // ntx // tile_h) * ntx \
-        + jnp.arange(n_rb, dtype=jnp.int32) % ntx
-    # Row-block ids are LOCAL (they index the local output planes); the
+    xmin_t = jnp.min(jnp.where(cov, xmin_tri[:, None], w), axis=0)
+    xmax_t = jnp.max(jnp.where(cov, xmax_tri[:, None], 0), axis=0)
+    rbid = jnp.arange(n_rb, dtype=jnp.int32)
+    rb_tile = (rbid // nsx // tile_h) * ntx + (rbid % nsx) // spt
+    # Shade-block ids are LOCAL (they index the local output planes); the
     # occupancy test runs at the block's GLOBAL pixel row, since the
-    # per-tile y-extents above are global-frame AABB facts.
-    rb_ly = jnp.arange(n_rb, dtype=jnp.int32) // ntx
+    # per-tile extents above are global-frame AABB facts. x is
+    # interleave-invariant: local block x == global x.
+    rb_ly = rbid // nsx
     rb_y = (rb_ly // tile_h * row_stride + row_offset) * tile_h \
         + rb_ly % tile_h
+    rb_x0 = (rbid % nsx) * shade_w
     occ_rb = ((counts[rb_tile] > 0)
-              & (rb_y >= ymin_t[rb_tile]) & (rb_y < ymax_t[rb_tile]))
+              & (rb_y >= ymin_t[rb_tile]) & (rb_y < ymax_t[rb_tile])
+              & (rb_x0 < xmax_t[rb_tile])
+              & (rb_x0 + shade_w > xmin_t[rb_tile]))
     occ_n = jnp.sum(occ_rb.astype(jnp.int32))
-    rbid = jnp.arange(n_rb, dtype=jnp.int32)
     order = jnp.argsort(jnp.where(occ_rb, rbid, rbid + n_rb))[:t_cap]
     rows = jnp.where(jnp.arange(t_cap, dtype=jnp.int32) < occ_n,
                      order, n_rb)
@@ -427,9 +456,10 @@ def build_queue(
 
     ranges = jnp.stack([ty0, ty1, tx0, tx1], axis=1)
     ylim = jnp.stack([ymin_tri, ymax_tri], axis=1)
+    xlim = jnp.stack([xmin_tri, xmax_tri], axis=1)
     return Queue(ids=ids, scal=scal, ranges=ranges,
                  built_valid=setup.valid, overflow=overflow, rows=rows,
-                 ylim=ylim)
+                 ylim=ylim, xlim=xlim)
 
 
 def check_queue_valid(queue: Queue, setup: TriSetup,
@@ -444,11 +474,14 @@ def check_queue_valid(queue: Queue, setup: TriSetup,
     r = queue.ranges
     inside = ((ty0 >= r[:, 0]) & (ty1 <= r[:, 1])
               & (tx0 >= r[:, 2]) & (tx1 <= r[:, 3])
-              # y-extent within the built rows list's (expanded) bounds —
-              # tile containment alone is not enough: within-tile drift
-              # can cover rows the compacted shade pass would skip
+              # y/x-extent within the built rows list's (expanded)
+              # bounds — tile containment alone is not enough:
+              # within-tile drift can cover shade blocks the compacted
+              # shade pass would skip
               & (setup.min_y >= queue.ylim[:, 0])
-              & (setup.max_y <= queue.ylim[:, 1]))
+              & (setup.max_y <= queue.ylim[:, 1])
+              & (setup.min_x >= queue.xlim[:, 0])
+              & (setup.max_x <= queue.xlim[:, 1]))
     ok = jnp.all(jnp.where(setup.valid,
                            inside & queue.built_valid, True))
     return ok & ~queue.overflow
@@ -904,16 +937,28 @@ def queue_stats(setup: TriSetup, h: int, w: int,
     covf = cov.reshape(-1, nty * ntx)
     counts = covf.sum(axis=0).astype(jnp.int32)
     total_chunks = jnp.sum(pl.cdiv(counts, chunk))
-    # occupied ROW-BLOCK count: per tile, the pair AABBs' y-extent (with
-    # the same ROW_MARGIN expansion build_queue bakes into Queue.rows)
+    # occupied SHADE-BLOCK count: per tile, the pair AABBs' y-extent times
+    # the SHADE_W-wide block span of their x-extent (with the same
+    # ROW_MARGIN expansion build_queue bakes into Queue.rows) — the exact
+    # per-tile block count build_queue's occupancy test produces.
     ymin_t = jnp.min(jnp.where(covf, jnp.maximum(
         setup.min_y - ROW_MARGIN, 0)[:, None], h), axis=0)
     ymax_t = jnp.max(jnp.where(covf, jnp.minimum(
         setup.max_y + ROW_MARGIN, h)[:, None], 0), axis=0)
+    xmin_t = jnp.min(jnp.where(covf, jnp.maximum(
+        setup.min_x - ROW_MARGIN, 0)[:, None], w), axis=0)
+    xmax_t = jnp.max(jnp.where(covf, jnp.minimum(
+        setup.max_x + ROW_MARGIN, w)[:, None], 0), axis=0)
     t_lo = ((jnp.arange(nty * ntx, dtype=jnp.int32) // ntx)
             * row_stride + row_offset) * tile_h   # GLOBAL first pixel row
     rows_per_tile = jnp.clip(
         jnp.minimum(ymax_t, t_lo + tile_h) - jnp.maximum(ymin_t, t_lo),
         0, tile_h)
-    occ_rows = jnp.sum(rows_per_tile)
+    spt = tile_w // SHADE_W
+    tb_lo = (jnp.arange(nty * ntx, dtype=jnp.int32) % ntx) * spt
+    blk_lo = jnp.maximum(xmin_t // SHADE_W, tb_lo)
+    blk_hi = jnp.minimum((jnp.maximum(xmax_t, 1) - 1) // SHADE_W,
+                         tb_lo + spt - 1)
+    blocks_per_row = jnp.clip(blk_hi - blk_lo + 1, 0, spt)
+    occ_rows = jnp.sum(rows_per_tile * blocks_per_row)
     return total_chunks, jnp.max(span_y), jnp.max(span_x), occ_rows

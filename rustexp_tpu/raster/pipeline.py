@@ -471,7 +471,7 @@ def raster_and_shade_pallas(
         # frame covers more row-blocks than it, the extras would silently
         # keep the background, so that raises `overflow` (re-bin signal),
         # same contract as the bin capacity itself.
-        from ..ops.raster_queue import TILE_W as SHADE_W
+        from ..ops.raster_queue import SHADE_W
 
         ntx_rb = w // SHADE_W
         occ = mask.reshape(h * ntx_rb, SHADE_W).any(axis=1)     # [h*ntx]
@@ -603,34 +603,34 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
     same integers — bit-identical output to the select+store path, at
     one evaluation per PIXEL instead of one per PAIR (ROADMAP lever #1).
     """
-    from ..ops.raster_queue import TILE_W, _F_CH, _I_CH
+    from ..ops.raster_queue import SHADE_W, _F_CH, _I_CH
 
-    ntx = w // TILE_W
+    ntx = w // SHADE_W
     rows = queue.rows                                       # [Rc]
     padr = rows >= h * ntx
     rows_g = jnp.where(padr, 0, rows)
 
     def comp(plane):
-        return plane.reshape(h * ntx, TILE_W)[rows_g]       # [Rc, 128]
+        return plane.reshape(h * ntx, SHADE_W)[rows_g]      # [Rc, SHADE_W]
 
     slotc = comp(slot)
     maskc = slotc >= 0
     sentinel = rows_flat.shape[0] - 1
     sg = jnp.where(maskc, slotc, sentinel).reshape(-1)
-    px_rows = rows_flat[sg]                                 # [Rc*128, CH]
+    px_rows = rows_flat[sg]                                 # [Rc*SW, CH]
     Rc = rows_g.shape[0]
 
-    def fch(k):  # float channel k as [Rc, 128]
-        return px_rows[:, _I_CH + k].reshape(Rc, TILE_W)
+    def fch(k):  # float channel k as [Rc, SHADE_W]
+        return px_rows[:, _I_CH + k].reshape(Rc, SHADE_W)
 
     def ich(k):  # int channel k
         return jax.lax.bitcast_convert_type(
-            px_rows[:, k].reshape(Rc, TILE_W), jnp.int32)
+            px_rows[:, k].reshape(Rc, SHADE_W), jnp.int32)
 
     # Pixel coordinates of the compacted rows (global frame space)
     yc_i = (rows_g // ntx).astype(jnp.int32)[:, None]
-    xc_i = ((rows_g % ntx) * TILE_W).astype(jnp.int32)[:, None] \
-        + jnp.arange(TILE_W, dtype=jnp.int32)[None, :]
+    xc_i = ((rows_g % ntx) * SHADE_W).astype(jnp.int32)[:, None] \
+        + jnp.arange(SHADE_W, dtype=jnp.int32)[None, :]
     xf = xc_i << 4
     yf = yc_i << 4
 
@@ -664,7 +664,7 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
             zc = comp(z)
             M = inv_world_to_vp(eye, w, h)
             xcf = xc_i.astype(jnp.float32)
-            ycf = jnp.broadcast_to(yc_i.astype(jnp.float32), (Rc, TILE_W))
+            ycf = jnp.broadcast_to(yc_i.astype(jnp.float32), (Rc, SHADE_W))
             pc = jnp.stack(
                 [wrc * (M[i, 0] * xcf + M[i, 1] * ycf + M[i, 2] * zc + M[i, 3])
                  for i in range(3)], axis=-1)
@@ -676,7 +676,7 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
         out = cc  # vertices were pre-shaded; colors only interpolate
     packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
 
-    bgv = bg_fb.reshape(h * ntx, TILE_W)
+    bgv = bg_fb.reshape(h * ntx, SHADE_W)
     merged = jnp.where(maskc, packed, bgv[rows_g])
     rows_s = jnp.where(padr, h * ntx, rows)  # pads scatter out of bounds
     # Same load-bearing barrier as _shade_compacted: keep the scatter out
@@ -687,7 +687,8 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
 
 def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
                      shader_idx: int, bg_fb, w: int, h: int, ray_world: bool,
-                     y0=0, full_h: int | None = None, y_rows=None):
+                     y0=0, full_h: int | None = None, y_rows=None,
+                     block_w: int | None = None):
     """Deferred per-pixel shading over OCCUPIED row-blocks only.
 
     The per-pixel cubemap lookups are row gathers at ~2.6 ns/index — the
@@ -710,15 +711,25 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
     coordinates. `y_rows` ([h], overrides y0) maps each LOCAL row to an
     arbitrary global row — the cyclic tile-row interleave's
     non-contiguous bands.
-    """
-    from ..ops.raster_queue import TILE_W
 
-    ntx = w // TILE_W
+    `block_w` (round 5, default raster_queue.SHADE_W) is the compaction
+    granularity and must match what the rows list was built at: entries
+    of `rows` index blocks of block_w pixels, id = (y*w + x0) / block_w.
+    Narrower blocks skip uncovered x-spans inside occupied rows
+    (silhouette scenes: TorusKnotP covers 58% of the frame at 32-px
+    blocks vs 76% at 128) at the cost of more gather/scatter indices;
+    64 is the measured sweet spot (see raster_queue.SHADE_W).
+    """
+    from ..ops.raster_queue import SHADE_W
+
+    if block_w is None:
+        block_w = SHADE_W
+    ntx = w // block_w
     padr = rows >= h * ntx
     rows_g = jnp.where(padr, 0, rows)
 
     def comp(plane):
-        return plane.reshape(h * ntx, TILE_W)[rows_g]       # [Tc*8, 128]
+        return plane.reshape(h * ntx, block_w)[rows_g]      # [Rc, block_w]
 
     maskc = comp(mask)
     wrc = 1.0 / comp(lin[0])
@@ -730,8 +741,8 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
             yc = (rows_g // ntx).astype(jnp.float32)[:, None] + y0
         else:
             yc = jnp.asarray(y_rows, jnp.float32)[rows_g // ntx][:, None]
-        xc = ((rows_g % ntx) * TILE_W).astype(jnp.float32)[:, None] \
-            + jnp.arange(TILE_W, dtype=jnp.float32)[None, :]
+        xc = ((rows_g % ntx) * block_w).astype(jnp.float32)[:, None] \
+            + jnp.arange(block_w, dtype=jnp.float32)[None, :]
         M = inv_world_to_vp(eye, w, h if full_h is None else full_h)
         pc = jnp.stack(
             [wrc * (M[i, 0] * xc + M[i, 1] * yc + M[i, 2] * zc + M[i, 3])
@@ -742,7 +753,7 @@ def _shade_compacted(rows, scene: Scene, z, mask, lin, eye, tick,
     out = sh.shader_fn(shader_idx)(pc, nc, cc, eye, tick, scene.cm)
     packed = pack_abgr32_gamma_arith(out[..., 0], out[..., 1], out[..., 2])
 
-    bgv = bg_fb.reshape(h * ntx, TILE_W)
+    bgv = bg_fb.reshape(h * ntx, block_w)
     merged = jnp.where(maskc, packed, bgv[rows_g])
     rows_s = jnp.where(padr, h * ntx, rows)  # pads scatter out of bounds
     # The barrier is load-bearing: XLA:TPU miscompiles the fusion of the
@@ -858,14 +869,14 @@ def _max_bin_count_jit(scene: Scene, eye, w: int, h: int):
 @partial(jax.jit, static_argnames=("w", "h"))
 def _bin_stats_jit(scene: Scene, eye, w: int, h: int):
     from ..ops.raster_pallas import max_bin_count, max_spans
-    from ..ops.raster_queue import TILE_W as SHADE_W
+    from ..ops.raster_queue import SHADE_W
 
     vp, _, _ = transform_vertices(scene, eye, w, h)
     setup = setup_triangles(vp, scene.tris, w, h)
     sx, sy = max_spans(setup, h, w)
 
-    # Upper bound on occupied 128-wide shade row-blocks: a row-block
-    # (y, tx) can hold coverage only if some valid triangle's clipped AABB
+    # Upper bound on occupied SHADE_W-wide shade blocks: a block (y, tx)
+    # can hold coverage only if some valid triangle's clipped AABB
     # intersects it. One [h,T]x[T,ntx] matmul (MXU) beats any scatter.
     ntx = -(-w // SHADE_W)
     ys = jnp.arange(h, dtype=jnp.int32)
@@ -893,9 +904,11 @@ def suggest_binning(scene: Scene, eye, w: int, h: int, margin: float = 1.3):
     mc, sx, sy, rc = jax.device_get(
         _bin_stats_jit(scene, jnp.asarray(eye, jnp.float32), w, h)
     )
+    from ..ops.raster_queue import SHADE_W
+
     need = max(512, int(int(mc) * margin))
     cap = (need + 511) // 512 * 512
-    ntx = -(-w // 128)
+    ntx = -(-w // SHADE_W)
     rows_cap = min(h * ntx, max(64, (int(int(rc) * margin) + 63) // 64 * 64))
     if rows_cap >= (h * ntx * 3) // 4:
         rows_cap = None

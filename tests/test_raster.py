@@ -415,7 +415,8 @@ def test_suggest_binning_cpu():
     cap, (mx, my), rows = pp.suggest_binning(scene, camera.cam_orbit(0.3), W, H)
     assert cap % 512 == 0 and cap >= 512
     assert 1 <= mx <= 8 and 1 <= my <= 8
-    assert rows is None or 64 <= rows < H * (W // 128) * 3 // 4
+    from rustexp_tpu.ops.raster_queue import SHADE_W
+    assert rows is None or 64 <= rows < H * (W // SHADE_W) * 3 // 4
 
 
 def test_bins_compacted_shade_parity():
@@ -429,7 +430,8 @@ def test_bins_compacted_shade_parity():
     full, ov_full = pp.render_frame(scene, eye, 0.7, **kw)
     _, _, rows = pp.suggest_binning(scene, eye, W, H)
     if rows is None:  # high coverage: still exercise the compacted path
-        rows = H * (W // 128)
+        from rustexp_tpu.ops.raster_queue import SHADE_W
+        rows = H * (W // SHADE_W)
     comp, ov_comp = pp.render_frame(scene, eye, 0.7, raster_rows=rows, **kw)
     assert not bool(ov_full) and not bool(ov_comp)
     assert np.array_equal(np.asarray(full), np.asarray(comp))

@@ -61,15 +61,14 @@ def run_scene(mesh_idx, sub_w, runs=10, check=False):
     eye = camera.camera_eye(mesh.mesh_camera(mesh_idx), TICK)
     queue = pp.build_scene_queue(scene, eye, W, H)
 
+    # Rebuild the rows list at sub_w regardless of the engine's SHADE_W
+    # default (the production build is 64-granular since round 5).
     orig = pp._shade_compacted
-    if sub_w != 128:
-        xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, eye, W, H)
-        setup = setup_triangles_planar(xs, ys, zs, W, H)
-        rows, n_occ = fine_rows(setup, H, W, sub_w)
-        queue = queue._replace(rows=rows)
-        pp._shade_compacted = functools.partial(orig, block_w=sub_w)
-    else:
-        n_occ = int(np.sum(np.asarray(queue.rows) < H * (W // 128)))
+    xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, eye, W, H)
+    setup = setup_triangles_planar(xs, ys, zs, W, H)
+    rows, n_occ = fine_rows(setup, H, W, sub_w)
+    queue = queue._replace(rows=rows)
+    pp._shade_compacted = functools.partial(orig, block_w=sub_w)
 
     K = 1024
 
