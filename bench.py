@@ -86,9 +86,10 @@ class Recorder:
         self.fallback: dict[str, dict] = {}
         self.fallback_shas: dict[str, str] = {}
         # Backend each record was measured on (legacy records predate the
-        # field; every one of those was a TPU capture). A CPU smoke run of
-        # this harness writes records under the SAME content hash — without
-        # the tag a later TPU run would silently reuse CPU numbers.
+        # field; every one of those was a TPU capture, backend name "tpu").
+        # A CPU smoke run of this harness writes records under the SAME
+        # content hash — without the tag a later TPU run would silently
+        # reuse CPU numbers.
         self.backend: str | None = None
         self.result_backends: dict[str, str] = {}
         if PARTIAL.exists():
@@ -107,11 +108,11 @@ class Recorder:
                         self.reused.append(rec["name"])
                     self.results[rec["name"]] = rec["payload"]
                     self.result_backends[rec["name"]] = rec.get(
-                        "backend", "axon")
+                        "backend", "tpu")
                 else:
                     # Fallbacks are only ever surfaced as prior TPU
                     # captures — never let a CPU smoke run stand in.
-                    if rec.get("backend", "axon") != "axon":
+                    if rec.get("backend", "tpu") != "tpu":
                         continue
                     self.fallback[rec["name"]] = rec["payload"]
                     self.fallback_shas[rec["name"]] = str(rec.get("sha"))
