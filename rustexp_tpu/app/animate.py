@@ -59,12 +59,20 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
     # fallback rule as render_frame itself).
     tileable = h % TILE_H == 0 and w % TILE_W == 0
     if tileable:
-        # Static queue caps: max stats over sampled path eyes, with margin
+        # Static queue caps: max stats over sampled path eyes, with margin.
+        # This scan rebuilds the queue every frame, so the shade
+        # granularity uses the per-frame-rebuild threshold (the finer
+        # build work recurs every frame, exactly like bench_scene_moving).
+        from ..ops.raster_queue import SHADE_W, choose_shade_w
+
         stats = [jax.device_get(pp._queue_stats_jit(
             scene, jnp.asarray(eyes[i]), w, h))
             for i in range(0, n_frames, max(1, n_frames // 8))]
-        agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
-        s_cap, m_y, m_x, t_cap = suggest_queue_config(agg)
+        agg = tuple(max(int(s[j]) for s in stats) for j in range(5))
+        shade_w = choose_shade_w(agg[3], agg[4], rebuild_per_frame=True,
+                                 per_pixel=per_pixel)
+        occ = agg[3] if shade_w == SHADE_W else agg[4]
+        s_cap, m_y, m_x, t_cap = suggest_queue_config(agg[:3] + (occ,))
 
     @jax.jit
     def chunk(scene, eyes_c, ticks_c):
@@ -75,7 +83,7 @@ def render_turntable(mesh_idx: int = 0, shader_idx: int = 5, env_idx: int = 0,
                     scene, e, w, h)
                 setup = setup_triangles_planar(xs, ys, zs, w, h)
                 queue = build_queue(setup, h, w, s_cap=s_cap, m_y=m_y,
-                                    m_x=m_x, t_cap=t_cap)
+                                    m_x=m_x, t_cap=t_cap, shade_w=shade_w)
                 fb, overflow = pp.render_frame(
                     scene, e, t, w=w, h=h, mode=pp.MODE_FILL,
                     per_pixel=per_pixel, shader_idx=shader_idx, bg_idx=bg_idx,

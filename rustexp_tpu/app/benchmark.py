@@ -86,7 +86,8 @@ def _run_stats(run, runs: int, per: float) -> dict:
 
 
 def bench_scene(mesh_idx: int, per_pixel: bool, runs: int,
-                backend: str = "auto", return_stats: bool = False):
+                backend: str = "auto", return_stats: bool = False,
+                shade_w: int | None = None):
     """Best-of-N per-frame seconds for one scene.
 
     Measurement methodology: K frames render back-to-back inside one jitted
@@ -115,7 +116,8 @@ def bench_scene(mesh_idx: int, per_pixel: bool, runs: int,
     cap = spans = rows = None
     queue = None
     if backend == "queue":
-        queue = pp.build_scene_queue(scene, eye, W, H)
+        queue = pp.build_scene_queue(scene, eye, W, H, per_pixel=per_pixel,
+                                     shade_w=shade_w)
     elif backend != "xla":
         cap, spans, rows = pp.suggest_binning(scene, eye, W, H)
     K = FRAMES_PER_DISPATCH
@@ -196,7 +198,8 @@ def run_suite(runs: int = 20, backend: str = "auto", verbose: bool = True):
 
 
 def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
-                       runs: int = 8, fps: float = 60.0, k: int = 256):
+                       runs: int = 8, fps: float = 60.0, k: int = 256,
+                       shade_w: int | None = None):
     """Moving-camera cost of one scene: per-frame IN-GRAPH queue rebuild.
 
     VERDICT r2 #8: the suite renders a FIXED eye per dispatch, so the cost
@@ -215,7 +218,8 @@ def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
     import jax.numpy as jnp
     import numpy as np
 
-    from ..ops.raster_queue import build_queue, suggest_queue_config
+    from ..ops.raster_queue import (build_queue, choose_shade_w,
+                                    suggest_queue_config)
     from ..ops.raster_setup import setup_triangles_planar
 
     m = mesh.get_mesh(mesh_idx)
@@ -225,11 +229,20 @@ def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
     eyes = jnp.asarray(np.stack([camera.camera_eye(cam, t) for t in ticks]),
                        jnp.float32)
 
-    # Static caps: max stats over a sample of path eyes, + margin
+    # Static caps: max stats over a sample of path eyes, + margin. The
+    # shade granularity is chosen with the per-frame-rebuild threshold:
+    # every frame pays the finer build (x-extent reductions + 2x argsort),
+    # so fine blocks must save a lot of shaded pixels to carry it.
     stats = [jax.device_get(pp._queue_stats_jit(scene, eyes[i], W, H))
              for i in range(0, k, max(1, k // 8))]
-    agg = tuple(max(int(s[j]) for s in stats) for j in range(4))
-    s_cap, m_y, m_x, t_cap = suggest_queue_config(agg)
+    agg = tuple(max(int(s[j]) for s in stats) for j in range(5))
+    if shade_w is None:
+        shade_w = choose_shade_w(agg[3], agg[4], rebuild_per_frame=True,
+                                 per_pixel=per_pixel)
+    from ..ops.raster_queue import SHADE_W
+
+    occ = agg[3] if shade_w == SHADE_W else agg[4]
+    s_cap, m_y, m_x, t_cap = suggest_queue_config(agg[:3] + (occ,))
 
     @jax.jit
     def frames(scene, eyes):
@@ -237,7 +250,7 @@ def bench_scene_moving(mesh_idx: int = 0, per_pixel: bool = True,
             xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, e, W, H)
             setup = setup_triangles_planar(xs, ys, zs, W, H)
             queue = build_queue(setup, H, W, s_cap=s_cap, m_y=m_y, m_x=m_x,
-                                t_cap=t_cap)
+                                t_cap=t_cap, shade_w=shade_w)
             fb, overflow = pp.render_frame(
                 scene, e, TICK, w=W, h=H, mode=pp.MODE_FILL,
                 per_pixel=per_pixel, shader_idx=SHADER, bg_idx=0,

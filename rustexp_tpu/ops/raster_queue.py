@@ -58,14 +58,19 @@ ROW_MARGIN = 2  # rows of camera-drift headroom baked into Queue.rows/ylim.
 # Margin rows are shaded every frame (up to 2*margin extra rows per tile:
 # margin 8 cost HeadP ~340 us, margin 4 ~170); 2 still absorbs 2 px of
 # drift before a rebuild — interactive orbits move <1 px/frame in y
-SHADE_W = 64  # compacted-shade block width (px). The deferred shade pass
-# gathers only OCCUPIED blocks; narrower blocks skip uncovered x-spans
-# inside occupied rows (silhouette scenes: TorusKnotP 75% of the frame
-# occupied at 128-px blocks vs 64% at 64-px) at the cost of 2x the
+SHADE_W = 64  # FINE compacted-shade block width (px). The deferred shade
+# pass gathers only OCCUPIED blocks; narrower blocks skip uncovered
+# x-spans inside occupied rows (silhouette scenes: TorusKnotP 75% of the
+# frame occupied at 128-px blocks vs 64% at 64-px) at the cost of 2x the
 # gather/scatter indices. Measured on v5e (2026-08-19, sustained
 # fixed-eye, tools/proto_subshade.py): TorusKnotP 1662 -> 1167 us,
-# CornellBoxP 1411 -> 1226, KillerooP 1698 -> 1593 at 64 px; 32 px is
-# flat-to-worse (index overhead catches up). Must divide TILE_W.
+# KillerooP 1698 -> 1593 at 64 px; 32 px is flat-to-worse (index
+# overhead catches up). Must divide TILE_W. NOT unconditional: scenes
+# whose geometry spans full tile widths (CornellBox interior: fixed-eye
+# 1414 -> 1651 us at 64 px, zero pixels saved) and per-frame-rebuild
+# paths (the finer occupancy costs 4 extra [T, nT] reductions + a 2x
+# argsort in build_queue — full r5 bench: moving suite +7.3% when forced
+# to 64) want TILE_W blocks — callers pick per scene via choose_shade_w.
 
 # Route the pair-key sort (~1 ms of the ~2.4 ms in-graph rebuild at
 # killeroo — the moving-camera frame's largest build line item) through
@@ -111,6 +116,59 @@ _I_CH = 12
 _F_CH = 7  # bias0 bias1 bias2 z0 z10 z20 inv_a2  (+ 3*(n2+n3) attr channels)
 
 
+@jax.tree_util.register_static
+class StaticInt(int):
+    """An int pytree node with NO leaves — the value is aux (structure) data.
+
+    Queue.shade_w must survive jit as a PYTHON int (it is a reshape
+    dimension in the shade paths); a plain int field would flatten to a
+    traced leaf. As structure data, two queues built at different shade
+    granularities are different pytree structures — a queue can never be
+    rendered at the wrong granularity, it recompiles instead.
+    """
+
+
+def choose_shade_w(occ_fine: int, occ_tile: int, *,
+                   fine_w: int = SHADE_W, tile_w: int = TILE_W,
+                   rebuild_per_frame: bool = False,
+                   per_pixel: bool = True) -> int:
+    """Pick the compacted-shade block granularity for one scene config.
+
+    `occ_fine` / `occ_tile` are the occupied-block counts queue_stats
+    reports at fine_w / tile_w granularity. Finer blocks shade fewer
+    pixels but double the gather/scatter index count and (when the queue
+    is rebuilt per frame) add four [T, nT] extent reductions + a 2x
+    argsort to every build. Thresholds calibrated by a SAME-SESSION
+    per-scene A/B on v5e 512^2 (2026-08-19, tools/ab_shadew.py; the
+    estimated-savings column is this function's input):
+
+        scene        est.save  fixed d64  moving d64
+        KillerooP      17.4%     -3.5%      +1.8%
+        HeadP          21.7%    -18.4%      -2.1%
+        HandP          14.1%     -4.9%      +4.5%
+        TorusKnotP     14.7%    -21.9%     -11.7%
+        CornellBoxP    13.1%    +16.4%     +25.6%
+
+      * cached queue (fixed eye): >13.5% estimated savings -> fine.
+        Classifies all five measured scenes correctly; the estimate is
+        an AABB superset, so the margin to CornellBox (13.1%, the only
+        fine-loser) is thin but the geometry is deterministic.
+      * per-frame rebuild (moving): >14.5% -> fine. Only KillerooP is
+        misclassified (fine at +1.8% = +41 us/frame) — every alternative
+        single-feature rule measured worse (a triangle-count penalty
+        would also flip HeadP's -2.1% win).
+      * per-vertex shading (V modes): the rows list is never consumed —
+        always tile_w (the fine build work would be pure waste).
+    """
+    if not per_pixel:
+        return tile_w
+    px_fine = occ_fine * fine_w
+    px_tile = max(occ_tile * tile_w, 1)
+    savings = 1.0 - px_fine / px_tile
+    return fine_w if savings > (0.145 if rebuild_per_frame else 0.135) \
+        else tile_w
+
+
 class Queue(NamedTuple):
     """Camera-coherent raster work queue (a pytree; cacheable across frames)."""
 
@@ -132,6 +190,11 @@ class Queue(NamedTuple):
     xlim: jnp.ndarray       # i32 [T, 2] per-triangle x-extent (with margin),
     #                         same contract as ylim: within-tile x drift can
     #                         cover shade blocks the built rows list skips
+    #                         (full-range when shade_w == tile_w: tile
+    #                         containment already bounds x there)
+    shade_w: StaticInt      # STATIC block width the rows list was built at
+    #                         (pytree structure data, not a leaf) — the shade
+    #                         paths reshape output planes by it
 
 
 def tile_ranges(setup: TriSetup, tile_h: int = TILE_H, tile_w: int = TILE_W):
@@ -167,9 +230,11 @@ def build_queue(
     """Construct the flat queue from a frame's triangle setup.
 
     `shade_w` (round 5) is the compacted-shade block granularity the
-    `rows` list is built at; the render paths assume the default SHADE_W
-    (pipeline._shade_compacted's block_w must match), so override it only
-    in prototypes/tests.
+    `rows` list is built at — either the fine SHADE_W or tile_w (which
+    skips the x-extent build work entirely). The queue CARRIES it as
+    static pytree structure (Queue.shade_w), so the render paths always
+    shade at the granularity the rows were built at; pick it per scene
+    with choose_shade_w.
 
     `row_stride` / `row_offset` (round 5) build a CYCLIC-interleaved band:
     this queue covers only the global tile rows g with g % row_stride ==
@@ -421,8 +486,6 @@ def build_queue(
         t_cap = n_rb
     ymin_tri = jnp.maximum(setup.min_y - ROW_MARGIN, 0)
     ymax_tri = jnp.minimum(setup.max_y + ROW_MARGIN, h)
-    xmin_tri = jnp.maximum(setup.min_x - ROW_MARGIN, 0)
-    xmax_tri = jnp.minimum(setup.max_x + ROW_MARGIN, w)
     # per-tile extents over its pairs: dense masked reductions over the
     # coverage matrix ([T, nT] vector min/max, ~0.1 ms) — scatter-min/max
     # over the pair enumeration cost ~4 ms at ~25 ns/scatter-index.
@@ -432,8 +495,6 @@ def build_queue(
     # span overflow already sets the rebuild flag).
     ymin_t = jnp.min(jnp.where(cov, ymin_tri[:, None], h), axis=0)
     ymax_t = jnp.max(jnp.where(cov, ymax_tri[:, None], 0), axis=0)
-    xmin_t = jnp.min(jnp.where(cov, xmin_tri[:, None], w), axis=0)
-    xmax_t = jnp.max(jnp.where(cov, xmax_tri[:, None], 0), axis=0)
     rbid = jnp.arange(n_rb, dtype=jnp.int32)
     rb_tile = (rbid // nsx // tile_h) * ntx + (rbid % nsx) // spt
     # Shade-block ids are LOCAL (they index the local output planes); the
@@ -443,11 +504,26 @@ def build_queue(
     rb_ly = rbid // nsx
     rb_y = (rb_ly // tile_h * row_stride + row_offset) * tile_h \
         + rb_ly % tile_h
-    rb_x0 = (rbid % nsx) * shade_w
     occ_rb = ((counts[rb_tile] > 0)
-              & (rb_y >= ymin_t[rb_tile]) & (rb_y < ymax_t[rb_tile])
-              & (rb_x0 < xmax_t[rb_tile])
-              & (rb_x0 + shade_w > xmin_t[rb_tile]))
+              & (rb_y >= ymin_t[rb_tile]) & (rb_y < ymax_t[rb_tile]))
+    if shade_w == tile_w:
+        # A block's x-span IS its tile column, so tile containment already
+        # bounds x: skip the four extra [T, nT] reductions and the x
+        # occupancy terms. This is the entire extra per-frame rebuild cost
+        # of the finer granularity (moving suite +7.3% when forced fine,
+        # v5e 2026-08-19) — per-frame-rebuild callers choose tile_w unless
+        # the finer rows list saves >25% of shaded pixels (choose_shade_w).
+        xmin_tri = jnp.zeros_like(ymin_tri)
+        xmax_tri = jnp.full_like(ymax_tri, w)
+    else:
+        xmin_tri = jnp.maximum(setup.min_x - ROW_MARGIN, 0)
+        xmax_tri = jnp.minimum(setup.max_x + ROW_MARGIN, w)
+        xmin_t = jnp.min(jnp.where(cov, xmin_tri[:, None], w), axis=0)
+        xmax_t = jnp.max(jnp.where(cov, xmax_tri[:, None], 0), axis=0)
+        rb_x0 = (rbid % nsx) * shade_w
+        occ_rb = (occ_rb
+                  & (rb_x0 < xmax_t[rb_tile])
+                  & (rb_x0 + shade_w > xmin_t[rb_tile]))
     occ_n = jnp.sum(occ_rb.astype(jnp.int32))
     order = jnp.argsort(jnp.where(occ_rb, rbid, rbid + n_rb))[:t_cap]
     rows = jnp.where(jnp.arange(t_cap, dtype=jnp.int32) < occ_n,
@@ -459,7 +535,7 @@ def build_queue(
     xlim = jnp.stack([xmin_tri, xmax_tri], axis=1)
     return Queue(ids=ids, scal=scal, ranges=ranges,
                  built_valid=setup.valid, overflow=overflow, rows=rows,
-                 ylim=ylim, xlim=xlim)
+                 ylim=ylim, xlim=xlim, shade_w=StaticInt(shade_w))
 
 
 def check_queue_valid(queue: Queue, setup: TriSetup,
@@ -902,8 +978,13 @@ def suggest_queue_config(setup_stats, margin: float = 1.3,
     changed with nearly every camera step, which made every interactive
     rebuild a fresh XLA compile (measured: 14 s/rebuild through the
     remote-TPU tunnel; quantized, rebuilds reuse the compiled build).
+
+    Accepts queue_stats' 5-tuple (the tile_w-granular count is for
+    choose_shade_w, not for capping) or the legacy 4-tuple; t_cap is
+    sized from element [3] — pass the occupancy count matching the
+    granularity the queue will be BUILT at.
     """
-    total_chunks, sy, sx, occ_rows = setup_stats
+    total_chunks, sy, sx, occ_rows = setup_stats[:4]
     s_cap = max(16, -(-int(int(total_chunks) * margin + 4) // 16) * 16)
     t_cap = max(64, -(-int(int(occ_rows) * tile_margin + 8) // 64) * 64)
     return s_cap, int(sy) + 1, int(sx) + 1, t_cap
@@ -913,8 +994,14 @@ def queue_stats(setup: TriSetup, h: int, w: int,
                 chunk: int = CHUNK, tile_h: int = TILE_H,
                 tile_w: int = TILE_W, row_stride: int = 1,
                 row_offset: int = 0):
-    """(chunk count, max span_y, max span_x, occupied tiles) for
-    suggest_queue_config.
+    """(chunk count, max span_y, max span_x, occupied SHADE_W blocks,
+    occupied tile_w blocks) for suggest_queue_config / choose_shade_w.
+
+    The last two are the occupied compacted-shade block counts at the
+    FINE (SHADE_W) and TILE (tile_w) granularities — both come from the
+    same per-tile extents, so reporting both costs nothing extra, and
+    callers pick the build granularity from their ratio (choose_shade_w)
+    then cap with the matching element.
 
     `row_stride`/`row_offset` (static ints) restrict the stats to the
     cyclic-interleaved band's tiles — use the max over offsets for the
@@ -960,5 +1047,7 @@ def queue_stats(setup: TriSetup, h: int, w: int,
     blk_hi = jnp.minimum((jnp.maximum(xmax_t, 1) - 1) // SHADE_W,
                          tb_lo + spt - 1)
     blocks_per_row = jnp.clip(blk_hi - blk_lo + 1, 0, spt)
-    occ_rows = jnp.sum(rows_per_tile * blocks_per_row)
-    return total_chunks, jnp.max(span_y), jnp.max(span_x), occ_rows
+    occ_fine = jnp.sum(rows_per_tile * blocks_per_row)
+    occ_tile = jnp.sum(rows_per_tile)
+    return (total_chunks, jnp.max(span_y), jnp.max(span_x),
+            occ_fine, occ_tile)

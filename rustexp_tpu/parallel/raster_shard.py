@@ -336,7 +336,8 @@ def _queue_band_core(mesh, *, w: int, h: int, per_pixel: bool,
         if per_pixel:
             fb = pp._shade_compacted(queue.rows, scene, z, maskp, lin, eye,
                                      tick, shader_idx, bg, w, band_h, True,
-                                     y0=y_org, full_h=h, y_rows=y_rows)
+                                     y0=y_org, full_h=h, y_rows=y_rows,
+                                     block_w=int(queue.shade_w))
         else:
             wr = 1.0 / lin[0]
             c = jnp.stack([q * wr for q in lin[1:4]], axis=-1)
@@ -379,8 +380,11 @@ def make_sharded_queue_render(
     fn = shard_map(
         band_render,
         mesh=mesh,
-        in_specs=(P(), jax.tree_util.tree_map(lambda _: P(axis),
-                                              _queue_struct()), P(), P()),
+        # P(axis) is a pytree-PREFIX spec: it broadcasts over every array
+        # leaf of the stacked Queue (shade_w is structure data, no leaf —
+        # a tree_map'd per-leaf spec would need the dummy's aux to match
+        # the real queue's granularity).
+        in_specs=(P(), P(axis), P(), P()),
         out_specs=(P(axis, None), P()),
         check_rep=False,
     )
@@ -434,7 +438,3 @@ def make_sharded_queue_render_moving(
     return jax.jit(fn, out_shardings=out_sharding)
 
 
-def _queue_struct():
-    from ..ops.raster_queue import Queue
-
-    return Queue(*([0] * len(Queue._fields)))

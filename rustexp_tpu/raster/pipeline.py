@@ -581,7 +581,8 @@ def raster_and_shade_queue(
                                              n2, n3, h, w)
     if per_pixel:
         fb = _shade_compacted(queue.rows, scene, z, mask, lin, eye, tick,
-                              shader_idx, bg_fb, w, h, ray_world)
+                              shader_idx, bg_fb, w, h, ray_world,
+                              block_w=int(queue.shade_w))
         return fb, stale
 
     wr = 1.0 / lin[0]
@@ -603,8 +604,9 @@ def _shade_deferred(queue, scene: Scene, z, slot, rows_flat, n2: int, n3: int,
     same integers — bit-identical output to the select+store path, at
     one evaluation per PIXEL instead of one per PAIR (ROADMAP lever #1).
     """
-    from ..ops.raster_queue import SHADE_W, _F_CH, _I_CH
+    from ..ops.raster_queue import _F_CH, _I_CH
 
+    SHADE_W = int(queue.shade_w)  # static: the granularity rows was built at
     ntx = w // SHADE_W
     rows = queue.rows                                       # [Rc]
     padr = rows >= h * ntx
@@ -925,10 +927,12 @@ def _queue_stats_jit(scene: Scene, eye, w: int, h: int):
     return queue_stats(setup, h, w)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "s_cap", "m_y", "m_x", "t_cap"))
+@partial(jax.jit, static_argnames=("w", "h", "s_cap", "m_y", "m_x", "t_cap",
+                                   "shade_w"))
 def _build_queue_jit(scene: Scene, eye, w: int, h: int, s_cap: int,
-                     m_y: int, m_x: int, t_cap: int):
-    from ..ops.raster_queue import build_queue
+                     m_y: int, m_x: int, t_cap: int,
+                     shade_w: int | None = None):
+    from ..ops.raster_queue import SHADE_W, build_queue
     from ..ops.raster_setup import setup_triangles_planar
 
     # The build MUST use the same planar setup as the per-frame path:
@@ -937,24 +941,36 @@ def _build_queue_jit(scene: Scene, eye, w: int, h: int, s_cap: int,
     xs, ys, zs, _, _, _ = transform_corners_planar(scene, eye, w, h)
     setup = setup_triangles_planar(xs, ys, zs, w, h)
     return build_queue(setup, h, w, s_cap=s_cap, m_y=m_y, m_x=m_x,
-                       t_cap=t_cap)
+                       t_cap=t_cap,
+                       shade_w=SHADE_W if shade_w is None else shade_w)
 
 
 def build_scene_queue(scene: Scene, eye, w: int, h: int,
-                      margin: float = 1.3):
+                      margin: float = 1.3, per_pixel: bool = True,
+                      shade_w: int | None = None):
     """Measure + build the flat raster queue for this scene/viewpoint.
 
     One device round-trip for the static config, then a jitted build. The
     result is a pytree cacheable across frames; render_frame reports `stale`
-    (via return_overflow) when the camera has moved beyond it.
+    (via return_overflow) when the camera has moved beyond it. The
+    compacted-shade granularity is chosen per scene from the measured
+    occupancy (ops.raster_queue.choose_shade_w) and travels WITH the queue;
+    pass per_pixel=False for V-mode configs (the rows list is unused there).
     """
-    from ..ops.raster_queue import suggest_queue_config
+    from ..ops.raster_queue import choose_shade_w, suggest_queue_config
 
     eye = jnp.asarray(eye, jnp.float32)
-    stats = jax.device_get(_queue_stats_jit(scene, eye, w, h))
+    stats = tuple(int(x) for x in
+                  jax.device_get(_queue_stats_jit(scene, eye, w, h)))
+    if shade_w is None:
+        shade_w = choose_shade_w(stats[3], stats[4], per_pixel=per_pixel)
+    from ..ops.raster_queue import SHADE_W
+
+    occ = stats[3] if shade_w == SHADE_W else stats[4]
     s_cap, m_y, m_x, t_cap = suggest_queue_config(
-        tuple(int(x) for x in stats), margin=margin)
-    return _build_queue_jit(scene, eye, w, h, s_cap, m_y, m_x, t_cap)
+        stats[:3] + (occ,), margin=margin)
+    return _build_queue_jit(scene, eye, w, h, s_cap, m_y, m_x, t_cap,
+                            shade_w)
 
 
 def suggest_cap(scene: Scene, eye, w: int, h: int, margin: float = 1.3) -> int:

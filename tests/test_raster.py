@@ -2,6 +2,7 @@
 modes, cameras, and the benchmark table."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -501,6 +502,62 @@ def test_queue_rows_cover_drifted_geometry():
                                          return_overflow=True, **kw)
             assert not bool(stale)
         assert np.array_equal(np.asarray(got), want), f"t={t}"
+
+
+def test_choose_shade_w():
+    """Granularity policy: V configs and zero-x-savings scenes take tile
+    width; big savings take the fine width at both thresholds; the
+    per-frame-rebuild threshold is strictly more demanding (the finer
+    occupancy costs x-extent reductions + a 2x argsort every frame)."""
+    from rustexp_tpu.ops.raster_queue import SHADE_W, TILE_W, choose_shade_w
+
+    assert choose_shade_w(10, 100, per_pixel=False) == TILE_W
+    # occ_fine == 2*occ_tile: the fine list shades the same pixels
+    assert choose_shade_w(200, 100) == TILE_W
+    assert choose_shade_w(200, 100, rebuild_per_frame=True) == TILE_W
+    # halves the shaded pixels: fine everywhere
+    assert choose_shade_w(100, 100) == SHADE_W
+    assert choose_shade_w(100, 100, rebuild_per_frame=True) == SHADE_W
+    # 14% savings sits between the calibrated thresholds (13.5 / 14.5):
+    # fine when the queue is cached, tile when rebuilt per frame
+    assert choose_shade_w(172, 100) == SHADE_W
+    assert choose_shade_w(172, 100, rebuild_per_frame=True) == TILE_W
+    # monotone: any savings level fine under rebuild is fine when cached
+    for occ_fine in range(100, 201, 10):
+        cached = choose_shade_w(occ_fine, 100)
+        moving = choose_shade_w(occ_fine, 100, rebuild_per_frame=True)
+        assert not (moving == SHADE_W and cached == TILE_W)
+
+
+def test_queue_granularity_dual_bit_exact():
+    """Queues built at fine and tile shade granularity render bit-equal
+    to the XLA oracle; the granularity travels WITH the queue
+    (Queue.shade_w is static pytree structure), and the tile_w build's
+    xlim is full-range (x drift can't skip shade blocks there)."""
+    from rustexp_tpu.ops import raster_queue as rq
+
+    scene = pp.make_scene(mesh.make_sphere(12, 24),
+                          cubemap.make_procedural_set())
+    eye = jnp.asarray(camera.cam_orbit(0.4))
+    kw = dict(w=W, h=H, shader_idx=5, show_cm=False, per_pixel=True)
+    want = np.asarray(pp.render_frame(scene, eye, 0.4, backend="xla", **kw))
+    for sw in (rq.SHADE_W, rq.TILE_W):
+        q = pp.build_scene_queue(scene, eye, W, H, shade_w=sw)
+        assert int(q.shade_w) == sw
+        if sw == rq.TILE_W:
+            xl = np.asarray(q.xlim)
+            assert (xl[:, 0] == 0).all() and (xl[:, 1] == W).all()
+        got, stale = pp.render_frame(scene, eye, 0.4, backend="queue",
+                                     raster_queue=q,
+                                     return_overflow=True, **kw)
+        assert not bool(stale)
+        assert np.array_equal(np.asarray(got), want), f"shade_w={sw}"
+    # different granularities are different pytree STRUCTURES
+    qa = pp.build_scene_queue(scene, eye, W, H, shade_w=rq.SHADE_W)
+    qb = pp.build_scene_queue(scene, eye, W, H, shade_w=rq.TILE_W)
+    sa = jax.tree_util.tree_structure(qa)
+    sb = jax.tree_util.tree_structure(qb)
+    assert sa != sb
 
 
 def test_queue_defer_lin_bit_exact():

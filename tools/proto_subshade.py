@@ -18,7 +18,6 @@ Usage: python tools/proto_subshade.py [cpu]   # cpu = correctness only
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -61,14 +60,16 @@ def run_scene(mesh_idx, sub_w, runs=10, check=False):
     eye = camera.camera_eye(mesh.mesh_camera(mesh_idx), TICK)
     queue = pp.build_scene_queue(scene, eye, W, H)
 
-    # Rebuild the rows list at sub_w regardless of the engine's SHADE_W
-    # default (the production build is 64-granular since round 5).
-    orig = pp._shade_compacted
+    # Rebuild the rows list at sub_w regardless of what build_scene_queue
+    # chose for this scene; the queue CARRIES its granularity (round-5
+    # Queue.shade_w, static pytree structure), so swapping both fields is
+    # all it takes — the shade path follows automatically.
+    from rustexp_tpu.ops.raster_queue import StaticInt
+
     xs, ys, zs, _, _, _ = pp.transform_corners_planar(scene, eye, W, H)
     setup = setup_triangles_planar(xs, ys, zs, W, H)
     rows, n_occ = fine_rows(setup, H, W, sub_w)
-    queue = queue._replace(rows=rows)
-    pp._shade_compacted = functools.partial(orig, block_w=sub_w)
+    queue = queue._replace(rows=rows, shade_w=StaticInt(sub_w))
 
     K = 1024
 
@@ -84,23 +85,20 @@ def run_scene(mesh_idx, sub_w, runs=10, check=False):
         _, sums = jax.lax.scan(body, 0, eyes)
         return sums
 
-    try:
-        if check:
-            fb, _ = pp.render_frame(
-                scene, jnp.asarray(eye), TICK, w=W, h=H, mode=pp.MODE_FILL,
-                per_pixel=True, shader_idx=SHADER, bg_idx=0, show_cm=False,
-                backend="queue", raster_queue=queue, return_overflow=True)
-            return np.asarray(fb), n_occ
-        eyes = jnp.broadcast_to(jnp.asarray(eye), (K, 3))
+    if check:
+        fb, _ = pp.render_frame(
+            scene, jnp.asarray(eye), TICK, w=W, h=H, mode=pp.MODE_FILL,
+            per_pixel=True, shader_idx=SHADER, bg_idx=0, show_cm=False,
+            backend="queue", raster_queue=queue, return_overflow=True)
+        return np.asarray(fb), n_occ
+    eyes = jnp.broadcast_to(jnp.asarray(eye), (K, 3))
+    np.asarray(frames(scene, queue, eyes))
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
         np.asarray(frames(scene, queue, eyes))
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            np.asarray(frames(scene, queue, eyes))
-            best = min(best, (time.perf_counter() - t0) / K)
-        return best * 1e6, n_occ
-    finally:
-        pp._shade_compacted = orig
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best * 1e6, n_occ
 
 
 def main():
