@@ -337,21 +337,42 @@ def build_queue(
         gbounds = jnp.concatenate([
             jnp.zeros((1,), jnp.int32), jnp.cumsum(glen)])  # [n_tiles_g*C+1]
 
-        runs = _plane_run_table(m_y, m_x)
-        R = len(runs)
-        run_dy = jnp.asarray([r[0] for r in runs], jnp.int32)
-        run_dx = jnp.asarray([r[1] for r in runs], jnp.int32)
-        run_cls = jnp.asarray([r[2] for r in runs], jnp.int32)
-        t_y = (jnp.arange(n_tiles, dtype=jnp.int32) // ntx) * row_stride \
-            + row_offset                             # GLOBAL row of local tile
-        t_x = jnp.arange(n_tiles, dtype=jnp.int32) % ntx
-        src_ty = t_y[:, None] - run_dy[None, :]      # [n_tiles, R]
-        src_tx = t_x[:, None] - run_dx[None, :]
-        src_ok = (src_ty >= 0) & (src_tx >= 0)
-        src_g = jnp.where(src_ok,
-                          (src_ty * ntx + src_tx) * C + run_cls[None, :], 0)
-        run_len = jnp.where(src_ok, glen[src_g], 0)  # [n_tiles, R]
-        run_start = gbounds[src_g]
+        # Per-tile run tables [n_tiles, R] WITHOUT gathers: for a fixed
+        # run (dy, dx, cls) the source group of tile (t_y, t_x) is the
+        # group of tile (t_y-dy, t_x-dx) at class cls — a constant 2-D
+        # SHIFT of the [nty_g, ntx, C] group-fact image. The two [nT, R]
+        # gathers this replaces measured 67 us/frame on the KillerooP
+        # moving rebuild (tools/profile_plane.py, v5e 2026-08-19); the
+        # shift form is m_y*m_x pad+slice ops on [nty_g, ntx, ...] blocks.
+        # Pad value 0 reproduces the gather form's src_ok masking exactly
+        # (run_len 0, run_start gbounds[0] = 0 at out-of-range sources).
+        # Run order is _plane_run_table's (dy, dx, sy, sx) flattening —
+        # the slot-order contract the run-membership matvec depends on.
+        g3 = glen.reshape(nty_g, ntx, C)
+        gb3 = gbounds[:-1].reshape(nty_g, ntx, C)
+        off = row_offset  # traced under shard_map; dynamic_slice below
+
+        def _shifted(img, dy, dx, cls_list):
+            # img[t_y - dy, t_x - dx, cls_list] over this queue's local
+            # tiles (t_y = off + row_stride*j), zeros out of range.
+            pad = jnp.pad(img[:, :, jnp.asarray(cls_list)],
+                          ((dy, row_stride), (dx, 0), (0, 0)))
+            win = jax.lax.dynamic_slice(
+                pad, (off, jnp.int32(0), jnp.int32(0)),
+                (nty_g, ntx, len(cls_list)))
+            return win[::row_stride][:nty]          # [nty, ntx, len(cls)]
+
+        rl_parts, rs_parts = [], []
+        for dy in range(m_y):
+            for dx in range(m_x):
+                cls_list = [(sy - 1) * m_x + (sx - 1)
+                            for sy in range(dy + 1, m_y + 1)
+                            for sx in range(dx + 1, m_x + 1)]
+                rl_parts.append(_shifted(g3, dy, dx, cls_list))
+                rs_parts.append(_shifted(gb3, dy, dx, cls_list))
+        R = sum(p.shape[-1] for p in rl_parts)
+        run_len = jnp.concatenate(rl_parts, axis=-1).reshape(n_tiles, R)
+        run_start = jnp.concatenate(rs_parts, axis=-1).reshape(n_tiles, R)
         counts = jnp.sum(run_len, axis=1).astype(jnp.int32)
     else:
         # --- legacy full pair-key sort -------------------------------------
