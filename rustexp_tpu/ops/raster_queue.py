@@ -273,6 +273,11 @@ def build_queue(
       * "tri": the round-2 layout — ascending triangle id within each tile
         (the reference's submission order), from a full pair-key sort.
         Valid with or without the tie-break.
+      * "direct" (round 5): tiny meshes (T <= 64, auto) — identical layout
+        to "tri" but with counts and slot ids read straight off the
+        coverage matrix (cumsum ranks + a rank-match contraction): no key
+        construction, no sort, no searchsorted, no slot gather. Valid with
+        or without the tie-break.
     """
     nty_g, ntx = h // tile_h, w // tile_w   # GLOBAL tile grid
     if nty_g % row_stride:
@@ -289,20 +294,53 @@ def build_queue(
     span_x = tx1 - tx0 + 1
 
     if order == "auto":
-        # Plane order wins when the pair-key sort it replaces is large and
-        # the per-tile run table it adds is small. Huge-triangle meshes
-        # (cube: spans ~ the whole screen) explode R = O(m_y^2 m_x^2)
-        # while their pair-key sort is tiny — legacy order is better there.
-        # Threshold measured on v5e (2026-08-19, moving-path in-graph
-        # rebuild): Killeroo T=24.3k −17%, Head T=40.5k −31%, KillerooV
-        # −19%, but TorusKnot T=2.9k +3% — small meshes' pair sorts are
-        # already cheap and the run reconstruction is pure overhead.
+        # Thresholds are same-session v5e A/Bs of the full moving frame
+        # (tools/profile_plane.py, 2026-08-19). Small meshes skip
+        # keys/sort/gather entirely — slot ids fall straight out of the
+        # coverage matrix ("direct": cube 1794 -> 1637 us, CornellBox
+        # 1891 -> 1862) as long as the [T, s_cap, chunk] rank-match stays
+        # small (TorusKnot at 53M: 2134 us, WORSE than either sort).
+        # Above that, plane's single T-key sort + gather-free run tables
+        # beat the pair-key sort from ~2k triangles up (TorusKnot −4.5%,
+        # Hand −8.3%, Killeroo −17%, Head −31%) unless huge per-triangle
+        # spans explode the run table R = O(m_y^2 m_x^2) (the pre-round-5
+        # 8192 cutoff dated from the gather-based run reconstruction).
         R_est = (m_y * (m_y + 1) // 2) * (m_x * (m_x + 1) // 2)
-        order = "plane" if (T >= 8192 and R_est <= 512) else "tri"
+        if T <= 64 or (T <= 2048 and T * s_cap * chunk <= 2 ** 25):
+            order = "direct"
+        else:
+            order = "plane" if (T >= 2048 and R_est <= 512) else "tri"
     if order == "plane" and n_tiles_g * (m_y * m_x) * (T + 1) >= 2 ** 31:
         order = "tri"  # key space must fit int32; fall back to the big sort
 
-    if order == "plane":
+    # Local-tile coverage; tile rows compare at their GLOBAL indices.
+    # Used by the rows list below and by the "direct" order's counts/slots.
+    ty_ar = jnp.arange(nty, dtype=jnp.int32) * row_stride + row_offset
+    tx_ar = jnp.arange(ntx, dtype=jnp.int32)
+    cov_y = (ty_ar[None, :] >= ty0[:, None]) & (ty_ar[None, :] <= ty1[:, None])
+    cov_x = (tx_ar[None, :] >= tx0[:, None]) & (tx_ar[None, :] <= tx1[:, None])
+    cov = (cov_y[:, :, None] & cov_x[:, None, :]
+           & setup.valid[:, None, None]).reshape(T, n_tiles)
+
+    if order == "direct":
+        # --- tiny-mesh build: no keys, no sort, no gathers ------------------
+        # With T <= chunk, a tile's whole segment is its covering triangles
+        # in ascending id order — exactly the "tri" layout — and the
+        # exclusive rank of each triangle within each tile's segment is a
+        # cumsum down the (m-span-clipped, to match the pair enumeration)
+        # coverage matrix. Slot ids then come from a [T, S, chunk]
+        # rank-match one-hot contraction (f32 exact: ids < 2^24). Measured
+        # motive: the legacy chain cost the 12-triangle cube ~250 us/frame
+        # of marginal in-graph rebuild (tools/profile_plane.py, v5e
+        # 2026-08-19) — launch floor, not compute.
+        win_y = cov_y & (ty_ar[None, :] - ty0[:, None] < m_y)
+        win_x = cov_x & (tx_ar[None, :] - tx0[:, None] < m_x)
+        cov_m = (win_y[:, :, None] & win_x[:, None, :]
+                 & setup.valid[:, None, None]).reshape(T, n_tiles)
+        cov_mi = cov_m.astype(jnp.int32)
+        rank = jnp.cumsum(cov_mi, axis=0) - cov_mi     # exclusive [T, nT]
+        counts = jnp.sum(cov_mi, axis=0)
+    elif order == "plane":
         # --- single-sort plane-shifted build -------------------------------
         # Group keys stay GLOBAL under the interleave (the sort and
         # histogram cover the whole frame); only the run table below picks
@@ -411,14 +449,6 @@ def build_queue(
         ).astype(jnp.int32)
         counts = bounds[1:] - bounds[:-1]  # [nT]
 
-    # Local-tile coverage; tile rows compare at their GLOBAL indices.
-    ty_ar = jnp.arange(nty, dtype=jnp.int32) * row_stride + row_offset
-    tx_ar = jnp.arange(ntx, dtype=jnp.int32)
-    cov_y = (ty_ar[None, :] >= ty0[:, None]) & (ty_ar[None, :] <= ty1[:, None])
-    cov_x = (tx_ar[None, :] >= tx0[:, None]) & (tx_ar[None, :] <= tx1[:, None])
-    cov = (cov_y[:, :, None] & cov_x[:, None, :]
-           & setup.valid[:, None, None]).reshape(T, n_tiles)
-
     # Chunk-aligned segment layout. Only tiles with pairs get chunks; the
     # slot plane of never-visited tiles stays -1 via input/output aliasing
     # of a prefilled buffer (z/attr planes are garbage there and must only
@@ -453,7 +483,22 @@ def build_queue(
         [ty, tx, first.astype(jnp.int32), cnt, gty], axis=1)  # [S, 5]
 
     slot_ok = jnp.arange(chunk, dtype=jnp.int32)[None, :] < cnt[:, None]
-    if order == "plane":
+    if order == "direct":
+        # Slot (s, j) holds the triangle whose within-tile rank equals the
+        # slot's global rank — a rank-match one-hot contracted against the
+        # triangle ids (counts <= T <= chunk, so k_of is always 0 for live
+        # chunks; kept general for uniformity with the other orders).
+        cov_sel = jnp.take(cov_m, tile_of, axis=1)       # [T, S]
+        rank_sel = jnp.take(rank, tile_of, axis=1)       # [T, S]
+        rr = k_of[:, None] * chunk + jnp.arange(
+            chunk, dtype=jnp.int32)[None, :]             # [S, chunk]
+        match = (cov_sel[:, :, None]
+                 & (rank_sel[:, :, None] == rr[None, :, :]))
+        ids = jnp.einsum(
+            "tsj,t->sj", match.astype(jnp.float32),
+            jnp.arange(T, dtype=jnp.float32)).astype(jnp.int32)
+        ids = jnp.where(slot_ok, ids, -1)
+    elif order == "plane":
         # Slot -> source pair: rank k within the tile's segment falls in
         # run r iff exclusive-cum[r] <= k < inclusive-cum[r]; empty runs
         # admit no rank, so exactly one run matches any k < counts[tile].

@@ -651,6 +651,45 @@ def test_queue_plane_order_bit_exact():
     assert np.array_equal(lp[mt], lt[mt])
 
 
+def test_queue_direct_order_identical_to_tri():
+    """The tiny-mesh "direct" build (counts + slot ids straight off the
+    coverage matrix, no sort/gather) must produce a Queue IDENTICAL to
+    the legacy "tri" pair-key-sort layout, leaf for leaf — same ascending
+    triangle order per tile, same chunk scalars, same rows list — both
+    whole-frame and under a cyclic row interleave."""
+    from rustexp_tpu.ops import raster_queue as rq
+
+    sph = mesh.make_sphere(4, 8)
+    assert sph.num_tris <= 64, "test mesh must hit the direct-order regime"
+    # Second config: a 1024-triangle sphere rendered onto a 128x128 frame
+    # (8 tiles) so per-tile counts exceed one chunk — exercises the
+    # k_of > 0 rank-match path that the tiny mesh never reaches.
+    dense = mesh.make_sphere(16, 32)
+    cases = [(sph, W, H), (dense, 128, 128)]
+    saw_multichunk = False
+    for msh, w_, h_ in cases:
+        scene = pp.make_scene(msh, cubemap.make_procedural_set())
+        eye = jnp.asarray(camera.cam_orbit(0.7))
+        setup, _ = _planar_setup_and_extra(scene, eye, w_, h_)
+        stats = tuple(int(x) for x in rq.queue_stats(setup, h_, w_))
+        s_cap, m_y, m_x, t_cap = rq.suggest_queue_config(stats)
+        for kw in ({}, {"row_stride": 2, "row_offset": 1}):
+            qt = rq.build_queue(setup, h_, w_, s_cap=s_cap, m_y=m_y,
+                                m_x=m_x, t_cap=t_cap, order="tri", **kw)
+            qd = rq.build_queue(setup, h_, w_, s_cap=s_cap, m_y=m_y,
+                                m_x=m_x, t_cap=t_cap, order="direct", **kw)
+            assert not bool(qt.overflow) and not bool(qd.overflow)
+            scal = np.asarray(qt.scal)
+            saw_multichunk |= bool(
+                ((scal[:, 2] == 0) & (scal[:, 3] > 0)).any())
+            lt = jax.tree_util.tree_leaves(qt)
+            ld = jax.tree_util.tree_leaves(qd)
+            assert len(lt) == len(ld)
+            for a, b in zip(lt, ld):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert saw_multichunk, "no tile needed >1 chunk; dense case too sparse"
+
+
 @pytest.mark.parametrize("D", [2, 4, 8])
 def test_queue_cyclic_interleave_bit_exact(D):
     """Cyclic tile-row interleaved band queues (row_stride=D) rasterize

@@ -24,6 +24,7 @@ Usage: python tools/profile_plane.py [mesh_idx] [K] [per_pixel]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -105,20 +106,30 @@ def main(mesh_idx=0, K=256, per_pixel=True):
         return setup, skey, rng, glen, gbounds
 
     def runs_st(e):
+        # Mirrors build_queue's shift-based run tables (no gathers).
         setup, skey, rng, glen, gbounds = hist_st(e)
-        runs = rq._plane_run_table(m_y, m_x)
-        run_dy = jnp.asarray([r[0] for r in runs], jnp.int32)
-        run_dx = jnp.asarray([r[1] for r in runs], jnp.int32)
-        run_cls = jnp.asarray([r[2] for r in runs], jnp.int32)
-        t_y = jnp.arange(n_tiles, dtype=jnp.int32) // ntx
-        t_x = jnp.arange(n_tiles, dtype=jnp.int32) % ntx
-        src_ty = t_y[:, None] - run_dy[None, :]
-        src_tx = t_x[:, None] - run_dx[None, :]
-        src_ok = (src_ty >= 0) & (src_tx >= 0)
-        src_g = jnp.where(src_ok,
-                          (src_ty * ntx + src_tx) * C + run_cls[None, :], 0)
-        run_len = jnp.where(src_ok, glen[src_g], 0)
-        run_start = gbounds[src_g]
+        g3 = glen.reshape(nty, ntx, C)
+        gb3 = gbounds[:-1].reshape(nty, ntx, C)
+
+        def _shifted(img, dy, dx, cls_list):
+            pad = jnp.pad(img[:, :, jnp.asarray(cls_list)],
+                          ((dy, 1), (dx, 0), (0, 0)))
+            win = jax.lax.dynamic_slice(
+                pad, (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                (nty, ntx, len(cls_list)))
+            return win
+
+        rl_parts, rs_parts = [], []
+        for dy in range(m_y):
+            for dx in range(m_x):
+                cls_list = [(sy - 1) * m_x + (sx - 1)
+                            for sy in range(dy + 1, m_y + 1)
+                            for sx in range(dx + 1, m_x + 1)]
+                rl_parts.append(_shifted(g3, dy, dx, cls_list))
+                rs_parts.append(_shifted(gb3, dy, dx, cls_list))
+        R = sum(p.shape[-1] for p in rl_parts)
+        run_len = jnp.concatenate(rl_parts, axis=-1).reshape(n_tiles, R)
+        run_start = jnp.concatenate(rs_parts, axis=-1).reshape(n_tiles, R)
         counts = jnp.sum(run_len, axis=1).astype(jnp.int32)
         return setup, skey, rng, run_len, run_start, counts
 
@@ -180,15 +191,17 @@ def main(mesh_idx=0, K=256, per_pixel=True):
         ids = jnp.where(slot_ok, src.reshape(s_cap, chunk), -1)
         return ids, scal, ymin_t, ymax_t
 
+    ORDER = os.environ.get("FORCE_ORDER", "auto")
+
     def build(e):
         setup = geo(e)
         return rq.build_queue(setup, H, W, s_cap=s_cap, m_y=m_y, m_x=m_x,
-                              t_cap=t_cap, order="plane", shade_w=shade_w)
+                              t_cap=t_cap, order=ORDER, shade_w=shade_w)
 
     def frame(e):
         setup = geo(e)
         q = rq.build_queue(setup, H, W, s_cap=s_cap, m_y=m_y, m_x=m_x,
-                           t_cap=t_cap, order="plane", shade_w=shade_w)
+                           t_cap=t_cap, order=ORDER, shade_w=shade_w)
         fb, ov = pp.render_frame(
             scene, e, 0.0, w=W, h=H, mode=pp.MODE_FILL,
             per_pixel=per_pixel, shader_idx=5, bg_idx=0, show_cm=False,
@@ -227,13 +240,20 @@ def main(mesh_idx=0, K=256, per_pixel=True):
         print(f"{label:8s} {best*1e6:8.1f} us/frame", flush=True)
         return best * 1e6
 
+    all_stages = [("geo", geo), ("keys", keys), ("sort", sort_st),
+                  ("hist", hist_st), ("runs", runs_st), ("cov", cov_st),
+                  ("layout", layout_st), ("slots", slots_st),
+                  ("build", build), ("frame", frame),
+                  ("fixed", fixed_frame)]
+    only = os.environ.get("STAGES")
+    if only:
+        keep = set(only.split(","))
+        all_stages = [(l, f) for l, f in all_stages if l in keep]
     ts = {}
-    for label, fn in [("geo", geo), ("keys", keys), ("sort", sort_st),
-                      ("hist", hist_st), ("runs", runs_st), ("cov", cov_st),
-                      ("layout", layout_st), ("slots", slots_st),
-                      ("build", build), ("frame", frame),
-                      ("fixed", fixed_frame)]:
+    for label, fn in all_stages:
         ts[label] = sustained(fn, label)
+    if only:
+        return
 
     print("\nstage deltas (us):")
     order = ["geo", "keys", "sort", "hist", "runs", "cov", "layout",
