@@ -65,8 +65,10 @@ def _experiments():
     from ..sims.rasterizer import RasterizerExperiment
 
     # prewarm=True: the rasterizer background-compiles neighbor configs
-    # so q/w/a/s/... switches land warm (async "compiling..." otherwise)
-    return [GoLExperiment(), NBodyExperiment(),
+    # so q/w/a/s/... switches land warm (async "compiling..." otherwise);
+    # the N-body driver defers a/A theta replans whose K(theta) needs a
+    # new step program the same way (status shows "compiling th=...")
+    return [GoLExperiment(), NBodyExperiment(prewarm=True),
             RasterizerExperiment(prewarm=True)]
 
 

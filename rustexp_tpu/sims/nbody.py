@@ -146,6 +146,13 @@ class NBodyState:
     step_times: FrameTimes = field(default_factory=FrameTimes)
     key: Any = None
     overflow: int = 0
+    # Async theta replan (ROADMAP "key-driven theta replan feedback"):
+    # an a/A press whose K(theta) needs a not-yet-compiled step program
+    # parks the new theta here; step() keeps integrating at the current
+    # theta, status() shows "compiling th=...", and the switch lands the
+    # step the Prewarmer finishes. None = no replan in flight.
+    pending_theta: float | None = None
+    prewarm: Any = None
 
     @property
     def n(self) -> int:
@@ -154,6 +161,14 @@ class NBodyState:
 
 class NBodyExperiment:
     name = "NBody"
+
+    def __init__(self, prewarm: bool = False):
+        # prewarm=True attaches a core.prewarm.Prewarmer so a/A theta
+        # replans whose K(theta) changes the static near-set width
+        # compile in the background instead of stalling the sim loop
+        # (the reference's interpreted quadtree replans instantly,
+        # nbody.rs:197-200; our XLA step is a distinct program per K).
+        self._prewarm = prewarm
 
     def init(self, mode: str = "orbits", n: int = 10_000, rmin: float = 0.5,
              rmax: float = 30.0, seed: int = 0, dt: float = 0.01,
@@ -165,7 +180,13 @@ class NBodyExperiment:
             px, py, vx, vy, m = random_disk(sub, n)
         else:
             px, py, vx, vy, m = stable_orbits(sub, n, rmin, rmax)
-        return NBodyState(px=px, py=py, vx=vx, vy=vy, m=m, dt=dt, theta=theta, key=key)
+        st = NBodyState(px=px, py=py, vx=vx, vy=vy, m=m, dt=dt, theta=theta,
+                        key=key)
+        if self._prewarm:
+            from ..core.prewarm import Prewarmer
+
+            st.prewarm = Prewarmer(self._warm_cfg)
+        return st
 
     # Block-size preference for the approximate path: largest divisor of N
     # from this tuple keeps blocks big enough for meaningful monopoles and
@@ -190,9 +211,50 @@ class NBodyExperiment:
             return "brute", None
         return "bh", block
 
+    def _step_cfg(self, n: int, theta: float) -> tuple:
+        """The static-program key of step(): one XLA program per cfg.
+
+        Mirrors step()'s routing exactly — backend choice, Pallas 1024
+        eligibility, and K(theta) (the static near-set width). dt is a
+        traced scalar and so not part of the key.
+        """
+        backend, block = self.select_backend(n, theta)
+        if backend == "brute":
+            return ("brute_pallas" if n % 1024 == 0 else "brute", 0, 0, n)
+        from ..ops import nbody_bh
+
+        k = nbody_bh.theta_to_k(theta, n // block)
+        return ("bh", block, k, n)
+
+    @staticmethod
+    def _warm_cfg(cfg: tuple, tick: float) -> None:
+        """Compile the step program `cfg` names (dummy state, discarded)."""
+        backend, block, k, n = cfg
+        z, ones = jnp.zeros(n, jnp.float32), jnp.ones(n, jnp.float32)
+        if backend == "brute_pallas":
+            from ..ops import nbody_pallas
+
+            out = nbody_pallas.step_brute_pallas(z, z, z, z, ones,
+                                                 1024, False, 0.01)
+        elif backend == "brute":
+            out = nbody_forces.step_brute_force(z, z, z, z, ones, 0, 0.01)
+        else:
+            from ..ops import nbody_bh
+
+            out = nbody_bh.step_bh(z, z, z, z, ones, block, k, 0.01)
+        jax.block_until_ready(out)
+
     def step(self, state: NBodyState) -> NBodyState:
         import time
 
+        if state.prewarm is not None and state.pending_theta is not None:
+            pcfg = self._step_cfg(state.n, state.pending_theta)
+            if state.prewarm.is_warm(pcfg):
+                state.theta = state.pending_theta
+                state.pending_theta = None
+                self._trace_replan(state)
+            else:
+                state.prewarm.request(pcfg, 0.0, urgent=True)
         t0 = time.perf_counter()
         backend, block = self.select_backend(state.n, state.theta)
         if backend == "brute":
@@ -220,6 +282,9 @@ class NBodyExperiment:
         state.px, state.py, state.vx, state.vy = px, py, vx, vy
         state.steps += 1
         state.step_times.push(time.perf_counter() - t0)
+        if state.prewarm is not None:
+            # stepping IS the warm-up for the current program
+            state.prewarm.mark_warm(self._step_cfg(state.n, state.theta))
         return state
 
     def render(self, state: NBodyState, w: int, h: int):
@@ -230,10 +295,13 @@ class NBodyExperiment:
         sps = 1.0 / med if med > 0 else 0.0
         backend, _ = self.select_backend(state.n, state.theta)
         algo = "brute" if backend == "brute" else f"bh(th={state.theta:.2f})"
-        return (
+        s = (
             f"{state.steps} Steps, SPS: {sps:.0f}, {med * 1000:.2f}ms, "
             f"{state.n} Bodies, dt {state.dt}, {algo}"
         )
+        if state.pending_theta is not None:
+            s = f"compiling th={state.pending_theta:.2f}... | " + s
+        return s
 
     def _trace_replan(self, state: NBodyState) -> None:
         """Announce the routing/K consequence of a theta change — a K(theta)
@@ -250,6 +318,34 @@ class NBodyExperiment:
             k = nbody_bh.theta_to_k(state.theta, state.n // block)
             trace_info(f"theta={state.theta:.2f}: block-BH K={k} exact "
                        f"near blocks (recompiles on first step if K changed)")
+
+    def _apply_theta(self, state: NBodyState, new_theta: float) -> NBodyState:
+        """Apply a theta change, deferring it when a recompile is due.
+
+        Without a Prewarmer (bench/headless), or when the new theta maps
+        to the SAME step program (K(theta) often survives a 0.05 nudge)
+        or an already-warm one, the switch is immediate — the reference's
+        behavior (RustNBodyExperiment.hs:91-94). Otherwise the theta goes
+        pending: step() keeps integrating at the current theta, the new
+        program compiles urgently on the warm thread, and the replan
+        lands the step it is ready (the async answer established for the
+        rasterizer's config switches — ROADMAP "theta replan feedback").
+        """
+        cfg = self._step_cfg(state.n, new_theta)
+        if (state.prewarm is None
+                or cfg == self._step_cfg(state.n, state.theta)
+                or state.prewarm.is_warm(cfg)):
+            state.theta = new_theta
+            state.pending_theta = None
+            self._trace_replan(state)
+            return state
+        from ..core.trace import trace_info
+
+        state.pending_theta = new_theta
+        state.prewarm.request(cfg, 0.0, urgent=True)
+        trace_info(f"theta={new_theta:.2f}: new step program {cfg[:3]} — "
+                   "compiling in background, replan lands when ready")
+        return state
 
     def handle_key(self, state: NBodyState, key: str) -> NBodyState:
         """Keys per reference RustNBodyExperiment.hs:81-98.
@@ -271,15 +367,19 @@ class NBodyExperiment:
         elif key == "x":
             state.dt /= 2.0
             return state
-        elif key == "A":
-            state.theta = min(0.95, state.theta + 0.05)
-            self._trace_replan(state)
-            return state
-        elif key == "a":
-            state.theta = max(0.0, state.theta - 0.05)
-            self._trace_replan(state)
-            return state
+        elif key in ("A", "a"):
+            # Repeated presses while a replan is compiling step from the
+            # PENDING theta (rasterizer handle_key's base() rule).
+            cur = (state.pending_theta if state.pending_theta is not None
+                   else state.theta)
+            new = (min(0.95, cur + 0.05) if key == "A"
+                   else max(0.0, cur - 0.05))
+            return self._apply_theta(state, new)
         else:
             return state
         st.dt, st.theta = state.dt, state.theta
+        if state.prewarm is not None:
+            # carry the warm thread (and its warmed-set) across resets —
+            # the jit caches it fronts are process-wide anyway
+            st.prewarm = state.prewarm
         return st

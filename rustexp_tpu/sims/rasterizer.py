@@ -19,88 +19,12 @@ from ..core.timing import FrameTimes
 from ..raster import camera, pipeline as pp
 
 
-class Prewarmer:
-    """Background XLA warm-up of rasterizer configs (VERDICT r4 #5).
-
-    The reference switches mesh/shader instantly (App.hs:178-185,
-    RustRasterizerExperiment.hs:127-143); here every (mesh, shader, mode,
-    per-pixel, bg, size) combination is a distinct XLA program whose
-    first compile costs 21-38 s through the remote-TPU tunnel
-    (BASELINE.md viewer table). This worker renders requested configs
-    ONCE on a daemon thread, so their compiled programs sit in the
-    in-process jit caches before the user asks for them; a key press
-    whose target is already warm presents in one frame. Two queues:
-    `urgent` (the user's pending switch) drains before `spec`
-    (speculative neighbors). JAX jit caches are thread-safe, and the
-    warm frame's device work (~ms) is negligible next to the compile it
-    fronts; the SimWorker pattern established in-process thread overlap.
-    """
-
-    def __init__(self):
-        import queue as _queue
-        import threading
-
-        self._urgent: _queue.Queue = _queue.Queue()
-        self._spec: _queue.Queue = _queue.Queue()
-        self._lock = threading.Lock()
-        self._warmed: set = set()
-        self._queued: set = set()
-        self._stop = threading.Event()
-        self._thread = None
-
-    def _start(self):
-        import atexit
-        import threading
-
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._run, daemon=True)
-            self._thread.start()
-            # A daemon thread killed mid-XLA-call aborts the interpreter
-            # teardown ("FATAL: exception not rethrown"); drain cleanly,
-            # bounded by one in-flight compile.
-            atexit.register(self.stop)
-
-    def stop(self, timeout: float = 30.0):
-        self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=timeout)
-
-    def is_warm(self, cfg) -> bool:
-        with self._lock:
-            return cfg in self._warmed
-
-    def request(self, cfg, tick: float, urgent: bool = False):
-        with self._lock:
-            if cfg in self._warmed or cfg in self._queued:
-                return
-            self._queued.add(cfg)
-        (self._urgent if urgent else self._spec).put((cfg, tick))
-        self._start()
-
-    def mark_warm(self, cfg):
-        """Record a config the caller itself just rendered (and thereby
-        compiled) — the main render path is its own warm-up."""
-        with self._lock:
-            self._warmed.add(cfg)
-
-    def _run(self):
-        import queue as _queue
-
-        while not self._stop.is_set():
-            try:
-                cfg, tick = self._urgent.get_nowait()
-            except _queue.Empty:
-                try:
-                    cfg, tick = self._spec.get(timeout=0.25)
-                except _queue.Empty:
-                    continue
-            try:
-                _warm_config(cfg, tick)
-            except Exception:
-                pass  # a failed warm only means the key pays the compile
-            with self._lock:
-                self._warmed.add(cfg)
-                self._queued.discard(cfg)
+# Background XLA warm-up of rasterizer configs (VERDICT r4 #5): every
+# (mesh, shader, mode, per-pixel, bg, size) combination is a distinct XLA
+# program whose first compile costs 21-38 s through the remote-TPU tunnel;
+# the shared Prewarmer (core/prewarm.py) compiles them on a daemon thread
+# so switches land warm. Re-exported here for existing callers.
+from ..core.prewarm import Prewarmer
 
 
 def _warm_config(cfg, tick: float):
@@ -165,7 +89,7 @@ class RasterizerExperiment:
     def init(self, **config) -> RasterState:
         st = RasterState(**config)
         if self._prewarm and st.prewarm is None:
-            st.prewarm = Prewarmer()
+            st.prewarm = Prewarmer(_warm_config)
         return st
 
     @staticmethod

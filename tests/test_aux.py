@@ -275,3 +275,76 @@ class TestPrewarm:
         m0 = st.mesh_idx
         st = exp.handle_key(st, "W")
         assert st.pending is None and st.mesh_idx != m0
+
+
+class TestNBodyThetaReplan:
+    """Async a/A theta replans (ROADMAP 'theta replan feedback'): a theta
+    whose K(theta) needs a new step program compiles in the background
+    while step() keeps integrating at the current theta."""
+
+    # n=2050 -> block=50, 41 blocks: K(0.85)=27, K(0.80)=30, so one 'a'
+    # press crosses a program boundary; small enough for fast CPU jits.
+    N = 2050
+
+    def _exp_state(self):
+        from rustexp_tpu.sims.nbody import NBodyExperiment
+
+        exp = NBodyExperiment(prewarm=True)
+        st = exp.init(n=self.N, theta=0.85)
+        st = exp.step(st)  # warms the current program
+        return exp, st
+
+    def test_replan_goes_pending_then_lands(self):
+        import time
+
+        exp, st = self._exp_state()
+        assert exp._step_cfg(self.N, 0.85) != exp._step_cfg(self.N, 0.80), \
+            "test premise: the 0.05 nudge must change K"
+        st = exp.handle_key(st, "a")
+        assert st.pending_theta is not None
+        assert abs(st.theta - 0.85) < 1e-9          # NOT applied yet
+        assert "compiling th=0.80" in exp.status(st)
+        deadline = time.time() + 120
+        while st.pending_theta is not None and time.time() < deadline:
+            st = exp.step(st)                        # keeps integrating
+            time.sleep(0.05)
+        assert st.pending_theta is None, "replan never landed"
+        assert abs(st.theta - 0.80) < 1e-9
+        assert "compiling" not in exp.status(st)
+        st = exp.step(st)                            # new program runs
+        st.prewarm.stop()
+
+    def test_warm_target_and_presses_stack_from_pending(self):
+        import time
+
+        exp, st = self._exp_state()
+        st = exp.handle_key(st, "a")                 # pending 0.80
+        if st.pending_theta is not None:
+            # a second press steps from the PENDING theta, not the live one
+            st = exp.handle_key(st, "A")
+            tgt = (st.pending_theta if st.pending_theta is not None
+                   else st.theta)
+            assert abs(tgt - 0.85) < 1e-9
+        # back at 0.85 = the already-warm program -> immediate, no pending
+        deadline = time.time() + 120
+        while st.pending_theta is not None and time.time() < deadline:
+            st = exp.step(st)
+            time.sleep(0.05)
+        assert st.pending_theta is None and abs(st.theta - 0.85) < 1e-9
+        st.prewarm.stop()
+
+    def test_mode_reset_carries_warm_thread(self):
+        exp, st = self._exp_state()
+        pw = st.prewarm
+        st2 = exp.handle_key(st, "q")                # orbit reset
+        assert st2.prewarm is pw
+        assert st2.pending_theta is None
+        pw.stop()
+
+    def test_no_prewarm_theta_applies_directly(self):
+        from rustexp_tpu.sims.nbody import NBodyExperiment
+
+        exp = NBodyExperiment()                      # bench/headless
+        st = exp.init(n=self.N, theta=0.85)
+        st = exp.handle_key(st, "a")
+        assert st.pending_theta is None and abs(st.theta - 0.80) < 1e-9
