@@ -277,6 +277,56 @@ class TestPrewarm:
         assert st.pending is None and st.mesh_idx != m0
 
 
+class TestPrewarmerUnit:
+    """core/prewarm.Prewarmer mechanics, independent of any experiment."""
+
+    def test_dedup_urgent_priority_and_failure_swallowed(self):
+        import threading
+        import time
+
+        from rustexp_tpu.core.prewarm import Prewarmer
+
+        order = []
+        gate = threading.Event()
+        started = threading.Event()
+
+        def warm(cfg, tick):
+            started.set()
+            gate.wait(10)
+            order.append(cfg)
+            if cfg == "boom":
+                raise RuntimeError("warm failure must be swallowed")
+
+        pw = Prewarmer(warm)
+        pw.request("spec1", 0.0)           # starts the thread, blocks on gate
+        assert started.wait(10)             # worker holds spec1 at the gate
+        pw.request("spec2", 0.0)
+        pw.request("boom", 0.0, urgent=True)
+        pw.request("spec2", 0.0)            # dedup: queued already
+        gate.set()
+        deadline = time.time() + 10
+        while len(order) < 3 and time.time() < deadline:
+            time.sleep(0.02)
+        # urgent drains before the remaining spec work; dedup kept one spec2
+        assert order == ["spec1", "boom", "spec2"]
+        # a failed warm still counts as warmed (the key just pays the
+        # compile itself if the program is actually broken)
+        assert pw.is_warm("boom") and pw.is_warm("spec1") and pw.is_warm("spec2")
+        pw.request("spec2", 0.0)             # dedup: warmed already
+        pw.stop()
+        assert len(order) == 3
+
+    def test_mark_warm_short_circuits_request(self):
+        from rustexp_tpu.core.prewarm import Prewarmer
+
+        calls = []
+        pw = Prewarmer(lambda cfg, tick: calls.append(cfg))
+        pw.mark_warm("done")
+        assert pw.is_warm("done")
+        pw.request("done", 0.0)              # no thread start, no call
+        assert pw._thread is None and calls == []
+
+
 class TestNBodyThetaReplan:
     """Async a/A theta replans (ROADMAP 'theta replan feedback'): a theta
     whose K(theta) needs a new step program compiles in the background
